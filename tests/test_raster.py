@@ -1,0 +1,218 @@
+"""Differentiable rasterizer tests: tiled XLA path vs naive golden renderer,
+plus finite-difference gradient checks (the strategy SURVEY.md §4 calls for:
+golden-image tests against a slow obviously-correct reference + VJP checks).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from scorp_tpu.core.camera import look_at_camera
+from scorp_tpu.core.sh import rgb_to_sh
+from scorp_tpu.ops.raster import RasterConfig, rasterize_naive, rasterize_xla
+
+
+def make_scene(n=128, seed=0, spread=1.0, scale=0.05, opacity_logit=1.0):
+    rng = np.random.default_rng(seed)
+    xyz = rng.uniform(-spread, spread, size=(n, 3)).astype(np.float32)
+    scales = np.exp(rng.normal(np.log(scale), 0.3, size=(n, 3))).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    opacity = 1.0 / (1.0 + np.exp(-rng.normal(opacity_logit, 1.0, size=n))).astype(np.float32)
+    colors = rng.uniform(0.0, 1.0, size=(n, 3)).astype(np.float32)
+    shs = np.zeros((n, 16, 3), np.float32)
+    shs[:, 0, :] = rgb_to_sh(colors)
+    shs[:, 1:, :] = rng.normal(0, 0.05, size=(n, 15, 3))
+    return (
+        jnp.asarray(xyz), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(opacity), jnp.asarray(shs),
+    )
+
+
+CAM = look_at_camera(
+    eye=[0, 0, -4.0], target=[0, 0, 0], up=[0, 1, 0],
+    fovx=0.8, fovy=0.8, width=64, height=48,
+)
+BG = jnp.array([0.2, 0.3, 0.4], jnp.float32)
+CFG = RasterConfig(max_keys=1 << 14, tile_list_len=256, chunk=16)
+
+
+class TestForward:
+    def test_tiled_matches_naive(self):
+        xyz, scales, quats, opa, shs = make_scene(n=200, seed=1)
+        out_t = rasterize_xla(
+            xyz, opa, CAM, BG, shs=shs, sh_degree=3, scales=scales, quats=quats, cfg=CFG
+        )
+        out_n = rasterize_naive(
+            xyz, opa, CAM, BG, shs=shs, sh_degree=3, scales=scales, quats=quats
+        )
+        assert int(out_t.num_dropped_keys) == 0
+        assert int(out_t.num_dropped_tail) == 0
+        np.testing.assert_allclose(out_t.color, out_n.color, atol=2e-5)
+        np.testing.assert_allclose(out_t.alpha, out_n.alpha, atol=2e-5)
+        np.testing.assert_allclose(out_t.depth_accum, out_n.depth_accum, atol=1e-4)
+        np.testing.assert_array_equal(out_t.radii, out_n.radii)
+
+    def test_empty_scene_renders_background(self):
+        xyz, scales, quats, opa, shs = make_scene(n=8)
+        out = rasterize_xla(
+            xyz, jnp.zeros_like(opa), CAM, BG, shs=shs, sh_degree=0,
+            scales=scales, quats=quats, cfg=CFG,
+        )
+        expected = np.broadcast_to(np.asarray(BG)[:, None, None], (3, 48, 64))
+        np.testing.assert_allclose(out.color, expected, atol=1e-6)
+        np.testing.assert_allclose(out.alpha, 0.0, atol=1e-6)
+
+    def test_behind_camera_culled(self):
+        xyz = jnp.array([[0.0, 0.0, -10.0]])  # behind (camera at z=-4 looking +z)
+        scales = jnp.full((1, 3), 0.1)
+        quats = jnp.array([[1.0, 0, 0, 0.0]])
+        opa = jnp.array([0.9])
+        colors = jnp.array([[1.0, 0, 0]])
+        out = rasterize_xla(
+            xyz, opa, CAM, BG, colors_precomp=colors, scales=scales, quats=quats, cfg=CFG
+        )
+        assert int(out.radii[0]) == 0
+        expected = np.broadcast_to(np.asarray(BG)[:, None, None], (3, 48, 64))
+        np.testing.assert_allclose(out.color, expected, atol=1e-6)
+
+    def test_single_gaussian_center(self):
+        # opaque gaussian dead center -> center pixel dominated by its color
+        xyz = jnp.array([[0.0, 0.0, 0.0]])
+        scales = jnp.full((1, 3), 0.3)
+        quats = jnp.array([[1.0, 0, 0, 0.0]])
+        opa = jnp.array([0.99])
+        colors = jnp.array([[1.0, 0.0, 0.0]])
+        out = rasterize_xla(
+            xyz, opa, CAM, BG, colors_precomp=colors, scales=scales, quats=quats, cfg=CFG
+        )
+        center = np.asarray(out.color[:, 24, 32])
+        assert center[0] > 0.9 and center[1] < 0.1
+        assert int(out.radii[0]) > 0
+
+    def test_alive_mask(self):
+        xyz, scales, quats, opa, shs = make_scene(n=64, seed=3)
+        alive = jnp.arange(64) < 32
+        out_masked = rasterize_xla(
+            xyz, opa, CAM, BG, shs=shs, sh_degree=1, scales=scales, quats=quats,
+            alive=alive, cfg=CFG,
+        )
+        out_subset = rasterize_naive(
+            xyz[:32], opa[:32], CAM, BG, shs=shs[:32], sh_degree=1,
+            scales=scales[:32], quats=quats[:32],
+        )
+        np.testing.assert_allclose(out_masked.color, out_subset.color, atol=2e-5)
+        assert np.all(np.asarray(out_masked.radii[32:]) == 0)
+
+    def test_depth_ordering(self):
+        # nearer opaque gaussian must occlude the farther one
+        xyz = jnp.array([[0.0, 0.0, -1.0], [0.0, 0.0, 1.0]])  # first is nearer
+        scales = jnp.full((2, 3), 0.3)
+        quats = jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (2, 1))
+        opa = jnp.array([0.99, 0.99])
+        colors = jnp.array([[1.0, 0, 0], [0.0, 1.0, 0]])
+        out = rasterize_xla(
+            xyz, opa, CAM, BG, colors_precomp=colors, scales=scales, quats=quats, cfg=CFG
+        )
+        center = np.asarray(out.color[:, 24, 32])
+        assert center[0] > 0.8 and center[1] < 0.2
+        # and reversed storage order must give the same image (sort works)
+        out2 = rasterize_xla(
+            xyz[::-1], opa[::-1], CAM, BG, colors_precomp=colors[::-1],
+            scales=scales, quats=quats, cfg=CFG,
+        )
+        np.testing.assert_allclose(out.color, out2.color, atol=1e-6)
+
+    def test_key_overflow_reported(self):
+        xyz, scales, quats, opa, shs = make_scene(n=256, seed=5, scale=0.3)
+        tiny = RasterConfig(max_keys=64, tile_list_len=64, chunk=16)
+        out = rasterize_xla(
+            xyz, opa, CAM, BG, shs=shs, sh_degree=0, scales=scales, quats=quats, cfg=tiny
+        )
+        assert int(out.num_dropped_keys) > 0
+
+
+class TestGradients:
+    def _loss_fn(self, target):
+        def loss(xyz, scales, quats, opa, shs, deltas):
+            out = rasterize_xla(
+                xyz, opa, CAM, BG, shs=shs, sh_degree=1, scales=scales, quats=quats,
+                screen_deltas=deltas, cfg=CFG,
+            )
+            return ((out.color - target) ** 2).mean() + 0.1 * (out.alpha**2).mean()
+        return loss
+
+    def test_grads_match_naive_autodiff(self):
+        xyz, scales, quats, opa, shs = make_scene(n=96, seed=7)
+        target = jnp.zeros((3, 48, 64))
+        deltas = jnp.zeros((96, 2))
+
+        def loss_naive(xyz, scales, quats, opa, shs, deltas):
+            out = rasterize_naive(
+                xyz, opa, CAM, BG, shs=shs, sh_degree=1, scales=scales, quats=quats,
+                screen_deltas=deltas,
+            )
+            return ((out.color - target) ** 2).mean() + 0.1 * (out.alpha**2).mean()
+
+        g_t = jax.grad(self._loss_fn(target), argnums=(0, 1, 2, 3, 4, 5))(
+            xyz, scales, quats, opa, shs, deltas
+        )
+        g_n = jax.grad(loss_naive, argnums=(0, 1, 2, 3, 4, 5))(
+            xyz, scales, quats, opa, shs, deltas
+        )
+        for a, b, name in zip(g_t, g_n, ["xyz", "scales", "quats", "opa", "shs", "deltas"]):
+            np.testing.assert_allclose(a, b, atol=5e-4, rtol=5e-3, err_msg=name)
+
+    def test_finite_difference_opacity(self):
+        xyz, scales, quats, opa, shs = make_scene(n=24, seed=9)
+        target = jnp.zeros((3, 48, 64))
+        deltas = jnp.zeros((24, 2))
+        loss = self._loss_fn(target)
+        g = jax.grad(loss, argnums=3)(xyz, scales, quats, opa, shs, deltas)
+        eps = 1e-3
+        rng = np.random.default_rng(0)
+        for i in rng.choice(24, size=4, replace=False):
+            dopa = opa.at[i].add(eps)
+            dopa2 = opa.at[i].add(-eps)
+            fd = (loss(xyz, scales, quats, dopa, shs, deltas)
+                  - loss(xyz, scales, quats, dopa2, shs, deltas)) / (2 * eps)
+            assert abs(float(g[i]) - float(fd)) < 5e-3 * max(1.0, abs(float(fd))), (
+                f"gaussian {i}: analytic {float(g[i])}, fd {float(fd)}"
+            )
+
+    def test_finite_difference_xyz(self):
+        xyz, scales, quats, opa, shs = make_scene(n=24, seed=11)
+        target = jnp.zeros((3, 48, 64))
+        deltas = jnp.zeros((24, 2))
+        loss = self._loss_fn(target)
+        g = jax.grad(loss, argnums=0)(xyz, scales, quats, opa, shs, deltas)
+        eps = 2e-3
+        rng = np.random.default_rng(1)
+        checked = 0
+        for i in rng.choice(24, size=6, replace=False):
+            for d in range(3):
+                x1 = xyz.at[i, d].add(eps)
+                x2 = xyz.at[i, d].add(-eps)
+                fd = (loss(x1, scales, quats, opa, shs, deltas)
+                      - loss(x2, scales, quats, opa, shs, deltas)) / (2 * eps)
+                an = float(g[i, d])
+                if abs(float(fd)) < 1e-5 and abs(an) < 1e-5:
+                    continue
+                # tile-membership changes make fd noisy; tolerate 10% relative
+                if abs(an - float(fd)) < 0.1 * max(abs(an), abs(float(fd)), 1e-3):
+                    checked += 1
+        assert checked >= 8  # most probes must agree
+
+    def test_screen_delta_grads_nonzero(self):
+        xyz, scales, quats, opa, shs = make_scene(n=48, seed=13)
+        target = jnp.zeros((3, 48, 64))
+        deltas = jnp.zeros((48, 2))
+        g = jax.grad(self._loss_fn(target), argnums=5)(xyz, scales, quats, opa, shs, deltas)
+        # visible gaussians must receive a screen-space gradient signal
+        out = rasterize_xla(
+            xyz, opa, CAM, BG, shs=shs, sh_degree=1, scales=scales, quats=quats, cfg=CFG
+        )
+        visible = np.asarray(out.radii) > 0
+        norms = np.linalg.norm(np.asarray(g), axis=1)
+        assert norms[visible].max() > 0
+        assert np.all(norms[~visible] == 0)

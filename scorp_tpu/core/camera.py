@@ -21,8 +21,9 @@ jitted render/train step.
 from __future__ import annotations
 
 import math
-from typing import NamedTuple
+from dataclasses import dataclass
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -65,21 +66,33 @@ def projection_matrix(znear: float, zfar: float, fovx: float, fovy: float) -> np
     return P
 
 
-class CameraJax(NamedTuple):
-    """Device-side camera: a pytree of f32 arrays + static ints.
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class CameraJax:
+    """Device-side camera pytree.
 
     `viewmatrix` / `projmatrix` are stored transposed (row-vector style) so
     that `p_hom @ viewmatrix` maps world -> view, matching the reference's
-    rasterizer-settings contract.
+    rasterizer-settings contract. `width`/`height` are static aux data (they
+    determine array shapes under jit); matrices and fov tangents are traced
+    leaves, so the same compiled step serves every camera of one resolution.
     """
 
     viewmatrix: jnp.ndarray  # [4, 4]  W2C^T
     projmatrix: jnp.ndarray  # [4, 4]  (P @ W2C)^T = W2C^T @ P^T
     campos: jnp.ndarray      # [3]
-    tanfovx: float           # scalar array or python float
-    tanfovy: float
+    tanfovx: jnp.ndarray     # scalar
+    tanfovy: jnp.ndarray     # scalar
     width: int               # static
     height: int              # static
+
+    def tree_flatten(self):
+        children = (self.viewmatrix, self.projmatrix, self.campos, self.tanfovx, self.tanfovy)
+        return children, (self.width, self.height)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, width=aux[0], height=aux[1])
 
 
 def make_camera_jax(
@@ -103,8 +116,8 @@ def make_camera_jax(
         viewmatrix=jnp.asarray(view_t),
         projmatrix=jnp.asarray(full_proj_t),
         campos=jnp.asarray(cam_center),
-        tanfovx=float(math.tan(fovx * 0.5)),
-        tanfovy=float(math.tan(fovy * 0.5)),
+        tanfovx=jnp.float32(math.tan(fovx * 0.5)),
+        tanfovy=jnp.float32(math.tan(fovy * 0.5)),
         width=int(width),
         height=int(height),
     )

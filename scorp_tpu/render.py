@@ -1,0 +1,91 @@
+"""High-level render entry point (reference renderer contract).
+
+Mirrors the output dictionary of the reference's
+`gs3dgs/gaussian_renderer/render` (/root/reference/gs3dgs/gaussian_renderer/
+__init__.py:24-133): rendered image, screen-space gradient carrier,
+visibility filter (radii > 0), radii, alpha-normalized depth with
+nan_to_num, and accumulated alpha. Consumes either a padded `GaussianState`
+or host-side `GaussianData`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.camera import CameraJax
+from .core.plyio import GaussianData
+from .ops.raster import RasterConfig
+from .ops.raster.xla import rasterize_xla
+from .train.state import GaussianState, from_gaussian_data
+
+
+@partial(jax.jit, static_argnames=("sh_degree", "cfg", "has_override"))
+def _render_jit(
+    params, alive, cam: CameraJax, bg, override_color, scale_modifier,
+    *, sh_degree: int, cfg: RasterConfig, has_override: bool,
+):
+    kwargs = dict(
+        scales=jnp.exp(params["scaling"]),
+        quats=params["rotation"],
+        scale_modifier=scale_modifier,
+        alive=alive,
+        cfg=cfg,
+    )
+    if has_override:
+        kwargs["colors_precomp"] = override_color
+    else:
+        kwargs["shs"] = jnp.concatenate([params["f_dc"], params["f_rest"]], axis=1)
+        kwargs["sh_degree"] = sh_degree
+    out = rasterize_xla(
+        params["xyz"], jax.nn.sigmoid(params["opacity"][:, 0]), cam, bg, **kwargs
+    )
+    depth = out.depth_accum / jnp.where(out.alpha == 0.0, 1.0, out.alpha)
+    depth = jnp.nan_to_num(depth, nan=0.0, posinf=0.0, neginf=0.0)
+    return {
+        "render": out.color,
+        "render_depth": depth,
+        "render_alpha": out.alpha,
+        "radii": out.radii,
+        "visibility_filter": out.radii > 0,
+        "num_dropped_keys": out.num_dropped_keys,
+        "num_dropped_tail": out.num_dropped_tail,
+    }
+
+
+def render(
+    cam: CameraJax,
+    gaussians: GaussianState | GaussianData,
+    bg: jnp.ndarray | np.ndarray,
+    *,
+    scaling_modifier: float = 1.0,
+    override_color=None,
+    sh_degree: int | None = None,
+    cfg: RasterConfig | None = None,
+):
+    if isinstance(gaussians, GaussianData):
+        gaussians = from_gaussian_data(gaussians)
+    if cfg is None:
+        cfg = default_raster_config(gaussians.capacity)
+    degree = gaussians.sh_degree if sh_degree is None else sh_degree
+    return _render_jit(
+        gaussians.params,
+        gaussians.alive,
+        cam,
+        jnp.asarray(bg, jnp.float32),
+        jnp.zeros((gaussians.capacity, 3), jnp.float32) if override_color is None else override_color,
+        jnp.float32(scaling_modifier),
+        sh_degree=degree,
+        cfg=cfg,
+        has_override=override_color is not None,
+    )
+
+
+def default_raster_config(capacity: int, avg_tiles_per_gaussian: int = 16) -> RasterConfig:
+    """Pick key/list capacities from the Gaussian capacity (power-of-two-ish
+    so recompiles are rare)."""
+    max_keys = 1 << max(14, (capacity * avg_tiles_per_gaussian - 1).bit_length())
+    return RasterConfig(max_keys=max_keys, tile_list_len=2048, chunk=64)

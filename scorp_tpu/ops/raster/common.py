@@ -5,22 +5,29 @@ Replicates the semantic contract of the reference's CUDA rasterizer
 /root/reference/gs3dgs/gaussian_renderer/__init__.py:24-133 and SURVEY.md
 §2.3a), re-designed for XLA/TPU:
 
-  preprocess  — fully vectorized over N (VPU-friendly): projection with the
-                reference's row-vector transposed matrices, EWA 2D covariance
-                J·W·Σ·Wᵀ·Jᵀ with the 0.3px low-pass dilation, 3σ radius from
-                the max eigenvalue, frustum cull at view z <= 0.2, in-kernel
-                SH→RGB with the clamp-at-0 gradient gate.
-  binning     — instead of CUDA's atomic key duplication + radix sort, keys
-                are expanded with a searchsorted-over-prefix-sum trick into a
-                fixed-capacity buffer (static shapes for XLA) and sorted with
-                a stable lax.sort on (tile_id, depth); per-tile ranges come
-                from vectorized searchsorted.
-  tile lists  — a dense [num_tiles, L] index table (nearest-L per tile,
-                overflow counted and reported so callers can grow capacity).
+preprocess — fully vectorized over N in scalarized form (one fused VPU
+  pass): projection with the reference's row-vector transposed matrices,
+  EWA 2D covariance J·W·Σ·Wᵀ·Jᵀ with the 0.3px low-pass dilation, frustum
+  cull at view z <= 0.2, in-kernel SH→RGB with the clamp-at-0 gradient
+  gate. Reported radii match the reference (ceil of 3σ of the max
+  eigenvalue); the *binning* rect additionally uses the exact per-axis
+  alpha>=1/255 ellipse bbox min'd with the reference rect — every excluded
+  pixel has zero contribution in the reference too (its per-pixel alpha
+  test skips it), so outputs and gradients are identical while the
+  (gaussian, tile) key count drops severalfold.
 
-Compositing lives in xla.py (autodiff golden path) and pallas.py (production
-kernels with a hand-written VJP). Both consume the same binning outputs so
-they are interchangeable and cross-checkable.
+binning — instead of CUDA's atomic key duplication + radix sort:
+  1. gaussians are pre-sorted by view depth (one N-sized sort);
+  2. keys are expanded into a fixed-capacity buffer with scatter + prefix
+     ops (a cumsum recovers the source gaussian of each key slot, cummax's
+     recover its start offset and packed tile rect) — no binary searches,
+     no per-key gathers;
+  3. one stable single-key sort by tile id preserves depth order in-tile;
+  4. per-tile ranges come from a vectorized searchsorted over tile ids.
+
+The stream form (sorted per-key gaussian rows [12, K] + per-tile start/
+count) feeds the Pallas compositor; the dense [num_tiles, L] list form
+feeds the autodiff XLA compositor used as the golden reference.
 """
 
 from __future__ import annotations
@@ -35,14 +42,16 @@ from ...core.camera import CameraJax
 from ...core.quat import quat_to_rotmat
 
 TILE = 16  # pixels per tile side (perf knob only; per-pixel output is tile-size invariant)
+ALPHA_MIN = 1.0 / 255.0
 
 
 class RasterConfig(NamedTuple):
     """Static capacities (recompile on change)."""
 
     max_keys: int = 1 << 20       # total (gaussian, tile) pair capacity
-    tile_list_len: int = 1024     # per-tile dense list capacity
-    chunk: int = 32               # gaussians blended per inner step
+    tile_list_len: int = 1024     # per-tile dense list capacity (XLA path)
+    chunk: int = 32               # gaussians blended per inner step (XLA path)
+    pallas_chunk: int = 512       # gaussians per VMEM stage (Pallas path)
 
 
 class Preprocessed(NamedTuple):
@@ -51,16 +60,34 @@ class Preprocessed(NamedTuple):
     conic: jnp.ndarray     # [N,3] inverse 2D covariance (A, B, C)
     color: jnp.ndarray     # [N,3] RGB (SH-evaluated or precomputed)
     opacity: jnp.ndarray   # [N] activated opacity
-    radii: jnp.ndarray     # [N] int32 screen radius (0 = culled)
-    rect: jnp.ndarray      # [N,4] int32 tile rect (x0, y0, x1, y1), half-open
-    valid: jnp.ndarray     # [N] bool
+    radii: jnp.ndarray     # [N] int32 reference screen radius (0 = culled)
+    rect: jnp.ndarray      # [N,4] int32 binning tile rect (x0, y0, x1, y1), half-open
+    valid: jnp.ndarray     # [N] bool (has at least one binning tile)
 
 
 class TileBins(NamedTuple):
     tile_lists: jnp.ndarray   # [num_tiles, L] int32 gaussian ids, -1 padded
     tile_counts: jnp.ndarray  # [num_tiles] int32
-    num_dropped_keys: jnp.ndarray   # [] int32: keys that did not fit max_keys
-    num_dropped_tail: jnp.ndarray   # [] int32: per-tile entries beyond L
+    num_dropped_keys: jnp.ndarray   # [] i32: keys that did not fit max_keys
+    num_dropped_tail: jnp.ndarray   # [] i32: per-tile entries beyond L
+
+
+class StreamBins(NamedTuple):
+    """Depth-ordered per-tile key stream for the Pallas compositor.
+
+    `data` rows: 0-1 xy, 2-4 conic (A,B,C), 5-7 color, 8 opacity, 9 depth,
+    10-15 zero padding (sublane tiling wants a multiple of 8 rows).
+    """
+
+    data: jnp.ndarray         # [16, K] f32, grouped by tile, depth-ascending
+    sorted_gidx: jnp.ndarray  # [K] i32 source gaussian of each key (for VJP scatter)
+    tile_start: jnp.ndarray   # [num_tiles] i32 offsets into the stream
+    tile_count: jnp.ndarray   # [num_tiles] i32
+    num_dropped_keys: jnp.ndarray  # [] i32
+
+
+DATA_ROWS = 10
+DATA_ROWS_PADDED = 16
 
 
 def grid_dims(width: int, height: int) -> tuple[int, int]:
@@ -105,91 +132,117 @@ def preprocess(
     w, h = cam.width, cam.height
     tiles_x, tiles_y = grid_dims(w, h)
 
-    ones = jnp.ones((n, 1), means3d.dtype)
-    p_hom4 = jnp.concatenate([means3d, ones], axis=1)
-    p_clip = p_hom4 @ cam.projmatrix                     # [N,4]
-    p_w = 1.0 / (p_clip[:, 3] + 1e-7)
-    p_proj = p_clip[:, :3] * p_w[:, None]                # NDC
-    p_view = p_hom4 @ cam.viewmatrix                     # [N,4]
-    depth = p_view[:, 2]
+    px, py, pz = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+    V = cam.viewmatrix
+    P = cam.projmatrix
+    # row-vector transforms, scalarized so XLA fuses one elementwise pass
+    view_x = px * V[0, 0] + py * V[1, 0] + pz * V[2, 0] + V[3, 0]
+    view_y = px * V[0, 1] + py * V[1, 1] + pz * V[2, 1] + V[3, 1]
+    depth = px * V[0, 2] + py * V[1, 2] + pz * V[2, 2] + V[3, 2]
+    clip_x = px * P[0, 0] + py * P[1, 0] + pz * P[2, 0] + P[3, 0]
+    clip_y = px * P[0, 1] + py * P[1, 1] + pz * P[2, 1] + P[3, 1]
+    clip_w = px * P[0, 3] + py * P[1, 3] + pz * P[2, 3] + P[3, 3]
+    p_w = 1.0 / (clip_w + 1e-7)
+    ndc_x = clip_x * p_w
+    ndc_y = clip_y * p_w
     in_front = depth > 0.2
 
     if screen_deltas is not None:
-        ndc_xy = p_proj[:, :2] + screen_deltas
-    else:
-        ndc_xy = p_proj[:, :2]
+        ndc_x = ndc_x + screen_deltas[:, 0]
+        ndc_y = ndc_y + screen_deltas[:, 1]
     # ndc2Pix: ((v + 1) * S - 1) * 0.5
-    xy = jnp.stack(
-        [(ndc_xy[:, 0] + 1.0) * w * 0.5 - 0.5, (ndc_xy[:, 1] + 1.0) * h * 0.5 - 0.5],
-        axis=-1,
-    )
+    pix_x = (ndc_x + 1.0) * (w * 0.5) - 0.5
+    pix_y = (ndc_y + 1.0) * (h * 0.5) - 0.5
+    xy = jnp.stack([pix_x, pix_y], axis=-1)
 
-    # --- EWA 2D covariance ---
+    # --- EWA 2D covariance (scalarized) ---
     if cov3d_precomp is not None:
         cov3d = cov3d_precomp
     else:
         cov3d = compute_cov3d(scales, quats, scale_modifier)
+    s00, s01, s02 = cov3d[:, 0], cov3d[:, 1], cov3d[:, 2]
+    s11, s12, s22 = cov3d[:, 3], cov3d[:, 4], cov3d[:, 5]
 
     focal_x = w / (2.0 * cam.tanfovx)
     focal_y = h / (2.0 * cam.tanfovy)
     limx = 1.3 * cam.tanfovx
     limy = 1.3 * cam.tanfovy
     tz = jnp.where(in_front, depth, 1.0)  # safe divisor in culled lanes
-    tx = jnp.clip(p_view[:, 0] / tz, -limx, limx) * tz
-    ty = jnp.clip(p_view[:, 1] / tz, -limy, limy) * tz
+    inv_z = 1.0 / tz
+    tx = jnp.clip(view_x * inv_z, -limx, limx) * tz
+    ty = jnp.clip(view_y * inv_z, -limy, limy) * tz
 
-    # J: [N,2,3] Jacobian of the perspective projection at (tx, ty, tz)
-    zeros = jnp.zeros_like(tz)
-    j00 = focal_x / tz
-    j02 = -(focal_x * tx) / (tz * tz)
-    j11 = focal_y / tz
-    j12 = -(focal_y * ty) / (tz * tz)
-    J = jnp.stack(
-        [
-            jnp.stack([j00, zeros, j02], axis=-1),
-            jnp.stack([zeros, j11, j12], axis=-1),
-        ],
-        axis=-2,
-    )
-    w2c = cam.viewmatrix[:3, :3].T                        # world->view rotation
-    M = J @ w2c                                           # [N,2,3]
-    # Σ from upper-tri 6-vector
-    c = cov3d
-    sigma = jnp.stack(
-        [
-            jnp.stack([c[:, 0], c[:, 1], c[:, 2]], -1),
-            jnp.stack([c[:, 1], c[:, 3], c[:, 4]], -1),
-            jnp.stack([c[:, 2], c[:, 4], c[:, 5]], -1),
-        ],
-        axis=-2,
-    )
-    cov2 = jnp.einsum("nij,njk,nlk->nil", M, sigma, M)    # [N,2,2]
-    c00 = cov2[:, 0, 0] + 0.3
-    c01 = cov2[:, 0, 1]
-    c11 = cov2[:, 1, 1] + 0.3
+    # M = J @ R_w2c with J = [[fx/z, 0, -fx x/z^2], [0, fy/z, -fy y/z^2]]
+    # R_w2c rows are V's columns (V stores W2C transposed).
+    j00 = focal_x * inv_z
+    j02 = -focal_x * tx * inv_z * inv_z
+    j11 = focal_y * inv_z
+    j12 = -focal_y * ty * inv_z * inv_z
+    r00, r01, r02 = V[0, 0], V[1, 0], V[2, 0]
+    r10, r11, r12 = V[0, 1], V[1, 1], V[2, 1]
+    r20, r21, r22 = V[0, 2], V[1, 2], V[2, 2]
+    m00 = j00 * r00 + j02 * r20
+    m01 = j00 * r01 + j02 * r21
+    m02 = j00 * r02 + j02 * r22
+    m10 = j11 * r10 + j12 * r20
+    m11 = j11 * r11 + j12 * r21
+    m12 = j11 * r12 + j12 * r22
+    # cov2 = M Σ Mᵀ
+    t0x = m00 * s00 + m01 * s01 + m02 * s02
+    t0y = m00 * s01 + m01 * s11 + m02 * s12
+    t0z = m00 * s02 + m01 * s12 + m02 * s22
+    t1x = m10 * s00 + m11 * s01 + m12 * s02
+    t1y = m10 * s01 + m11 * s11 + m12 * s12
+    t1z = m10 * s02 + m11 * s12 + m12 * s22
+    c00 = t0x * m00 + t0y * m01 + t0z * m02 + 0.3
+    c01 = t1x * m00 + t1y * m01 + t1z * m02
+    c11 = t1x * m10 + t1y * m11 + t1z * m12 + 0.3
 
     det = c00 * c11 - c01 * c01
     det_ok = det != 0.0
-    det_safe = jnp.where(det_ok, det, 1.0)
-    conic = jnp.stack([c11 / det_safe, -c01 / det_safe, c00 / det_safe], axis=-1)
+    inv_det = 1.0 / jnp.where(det_ok, det, 1.0)
+    conic = jnp.stack([c11 * inv_det, -c01 * inv_det, c00 * inv_det], axis=-1)
 
     mid = 0.5 * (c00 + c11)
     disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
-    lambda1 = mid + disc
-    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(mid + disc, 0.0)))
     radius = radius_f.astype(jnp.int32)
 
-    # tile rect (half-open, clamped to the grid) — reference getRect semantics
-    x0 = jnp.clip(((xy[:, 0] - radius_f) / TILE).astype(jnp.int32), 0, tiles_x)
-    y0 = jnp.clip(((xy[:, 1] - radius_f) / TILE).astype(jnp.int32), 0, tiles_y)
-    x1 = jnp.clip(((xy[:, 0] + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, tiles_x)
-    y1 = jnp.clip(((xy[:, 1] + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, tiles_y)
-    area = (x1 - x0) * (y1 - y0)
+    opacity = opacities.reshape(n)
+    # exact alpha >= 1/255 ellipse bbox (pixels outside have zero
+    # contribution in the reference as well: its per-pixel alpha test skips
+    # them), min'd with the reference's circular-radius rect
+    t2 = 2.0 * jnp.log(jnp.maximum(opacity, 1e-12) * 255.0)
+    t2 = jnp.maximum(t2, 0.0)
+    rx = jnp.minimum(radius_f, jnp.sqrt(t2 * jnp.maximum(c00, 0.0)))
+    ry = jnp.minimum(radius_f, jnp.sqrt(t2 * jnp.maximum(c11, 0.0)))
+    keep = in_front & det_ok & (t2 > 0.0)
+    rx = jnp.where(keep, rx, 0.0)
+    ry = jnp.where(keep, ry, 0.0)
 
-    valid = in_front & det_ok & (area > 0)
+    # reference getRect semantics (half-open, clamped to grid)
+    x0 = jnp.clip(((pix_x - rx) / TILE).astype(jnp.int32), 0, tiles_x)
+    y0 = jnp.clip(((pix_y - ry) / TILE).astype(jnp.int32), 0, tiles_y)
+    x1 = jnp.clip(((pix_x + rx + TILE - 1) / TILE).astype(jnp.int32), 0, tiles_x)
+    y1 = jnp.clip(((pix_y + ry + TILE - 1) / TILE).astype(jnp.int32), 0, tiles_y)
+    valid = keep & (x1 > x0) & (y1 > y0) & ((rx > 0.0) | (ry > 0.0))
     if alive is not None:
         valid = valid & alive
-    radii = jnp.where(valid, radius, 0)
+    x0 = jnp.where(valid, x0, 0)
+    y0 = jnp.where(valid, y0, 0)
+    x1 = jnp.where(valid, x1, 0)
+    y1 = jnp.where(valid, y1, 0)
+
+    # reported radii/visibility keep the reference's semantics (its rect is
+    # radius-circular and ignores opacity)
+    rx0 = jnp.clip(((pix_x - radius_f) / TILE).astype(jnp.int32), 0, tiles_x)
+    ry0 = jnp.clip(((pix_y - radius_f) / TILE).astype(jnp.int32), 0, tiles_y)
+    rx1 = jnp.clip(((pix_x + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, tiles_x)
+    ry1 = jnp.clip(((pix_y + radius_f + TILE - 1) / TILE).astype(jnp.int32), 0, tiles_y)
+    valid_ref = in_front & det_ok & ((rx1 - rx0) * (ry1 - ry0) > 0)
+    if alive is not None:
+        valid_ref = valid_ref & alive
+    radii = jnp.where(valid_ref, radius, 0)
 
     # --- color ---
     if colors_precomp is not None:
@@ -199,52 +252,127 @@ def preprocess(
         dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
         color = jnp.maximum(sh_lib.eval_sh(sh_degree, shs, dirs) + 0.5, 0.0)
 
-    opacity = opacities.reshape(n)
     rect = jnp.stack([x0, y0, x1, y1], axis=-1)
     return Preprocessed(xy, depth, conic, color, opacity, radii, rect, valid)
 
 
-def bin_gaussians(prep: Preprocessed, width: int, height: int, cfg: RasterConfig) -> TileBins:
-    """Expand (gaussian, tile) pairs, depth-sort per tile, build dense lists.
+def _expand_keys_core(prep: Preprocessed, width: int, height: int, k_cap: int):
+    """Depth-presorted key expansion via scatter + prefix ops.
 
-    Pure integer/index computation — wrapped in stop_gradient by callers.
+    Returns (tile [K], g_of_k [K] position in depth-sorted order, order [N],
+    total). No binary searches and no per-key gathers: the source gaussian
+    of each key slot comes from a marker cumsum, its start offset from a
+    scatter+cummax over the monotone starts, and its packed tile rect from a
+    scatter of integer *differences* + cumsum (exact under i32 wraparound —
+    the depth sort puts all valid gaussians in a contiguous prefix, so the
+    telescoping chain is unbroken).
+    """
+    tiles_x, tiles_y = grid_dims(width, height)
+    num_tiles = tiles_x * tiles_y
+
+    # 1. depth pre-sort (invalid last)
+    order = jnp.argsort(jnp.where(prep.valid, prep.depth, jnp.inf), stable=True)
+    rect = prep.rect[order]
+    valid = prep.valid[order]
+    x0, y0, x1, y1 = rect[:, 0], rect[:, 1], rect[:, 2], rect[:, 3]
+    span = x1 - x0
+    counts = jnp.where(valid, span * (y1 - y0), 0)
+    starts = jnp.cumsum(counts) - counts
+    total = starts[-1] + counts[-1]
+
+    has_keys = counts > 0
+    pos = jnp.where(has_keys, starts, k_cap)  # k_cap -> dropped by scatter
+    marker = jnp.zeros(k_cap, jnp.int32).at[pos].add(1, mode="drop")
+    g_of_k = jnp.cumsum(marker) - 1  # position in depth-sorted order
+    start_of_k = jax.lax.cummax(
+        jnp.zeros(k_cap, jnp.int32).at[pos].max(starts.astype(jnp.int32), mode="drop")
+    )
+    packed = (x0.astype(jnp.int32) << 20) | (y0.astype(jnp.int32) << 10) | span.astype(jnp.int32)
+    packed_diff = packed - jnp.concatenate([jnp.zeros(1, jnp.int32), packed[:-1]])
+    packed_of_k = jnp.cumsum(
+        jnp.zeros(k_cap, jnp.int32).at[pos].add(packed_diff, mode="drop")
+    )
+
+    ks = jax.lax.broadcasted_iota(jnp.int32, (k_cap, 1), 0)[:, 0]
+    local = ks - start_of_k
+    kx0 = packed_of_k >> 20
+    ky0 = (packed_of_k >> 10) & 1023
+    kspan = jnp.maximum(packed_of_k & 1023, 1)
+    tile = (ky0 + local // kspan) * tiles_x + (kx0 + local % kspan)
+    in_range = (ks < jnp.minimum(total, k_cap)) & (g_of_k >= 0)
+    tile = jnp.where(in_range, tile, num_tiles)
+    return tile, g_of_k, order, total
+
+
+def _expand_keys(prep: Preprocessed, width: int, height: int, k_cap: int):
+    """Expansion + stable single-key tile sort (preserves depth order)."""
+    tile, g_of_k, order, total = _expand_keys_core(prep, width, height, k_cap)
+    sorted_tile, sorted_pos = jax.lax.sort((tile, g_of_k), num_keys=1, is_stable=True)
+    return sorted_tile, sorted_pos, order, total
+
+
+def _tile_bounds(sorted_tile: jnp.ndarray, num_tiles: int):
+    tid_range = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(sorted_tile, tid_range, side="left").astype(jnp.int32)
+    return bounds[:-1], bounds[1:] - bounds[:-1]
+
+
+def bin_stream(prep: Preprocessed, width: int, height: int, cfg: RasterConfig) -> StreamBins:
+    """Stream binning for the Pallas compositor.
+
+    Expands keys, gathers each key's 10 data columns once (pre-sort, by the
+    monotone expansion index), and carries them through the stable tile sort
+    as payloads — no post-sort gathers.
     """
     tiles_x, tiles_y = grid_dims(width, height)
     num_tiles = tiles_x * tiles_y
     k_cap = cfg.max_keys
     n = prep.xy.shape[0]
 
-    x0, y0, x1, y1 = prep.rect[:, 0], prep.rect[:, 1], prep.rect[:, 2], prep.rect[:, 3]
-    span_w = x1 - x0
-    counts = jnp.where(prep.valid, span_w * (y1 - y0), 0)
-    starts = jnp.cumsum(counts) - counts                       # exclusive prefix
-    total = starts[-1] + counts[-1]
+    tile, g_of_k, order, total = _expand_keys_core(prep, width, height, k_cap)
 
-    # expand: key slot k belongs to gaussian g = last index with starts[g] <= k
-    ks = jnp.arange(k_cap, dtype=jnp.int32)
-    g = jnp.searchsorted(starts, ks, side="right").astype(jnp.int32) - 1
-    g = jnp.clip(g, 0, n - 1)
-    local = ks - starts[g]
-    sw = jnp.maximum(span_w[g], 1)
-    tx = x0[g] + local % sw
-    ty = y0[g] + local // sw
-    tile_id = ty * tiles_x + tx
-    in_range = ks < total
-    tile_id = jnp.where(in_range, tile_id, num_tiles)          # sentinel -> sorted last
-    depth_key = jnp.where(in_range, prep.depth[g], jnp.inf)
+    rows = jnp.concatenate(
+        [
+            prep.xy,
+            prep.conic,
+            prep.color,
+            prep.opacity[:, None],
+            prep.depth[:, None],
+        ],
+        axis=1,
+    )[order]  # depth-sorted per-gaussian rows [N, 10]
+    g_safe = jnp.maximum(g_of_k, 0)
+    key_rows = rows[g_safe]                      # [K, 10] one gather
+    key_gidx = order[g_safe].astype(jnp.int32)   # [K]
 
-    sorted_tile, _, sorted_gidx = jax.lax.sort(
-        (tile_id, depth_key, g), num_keys=2, is_stable=True
-    )
+    in_range = tile < num_tiles
+    key_opa = jnp.where(in_range, key_rows[:, 8], 0.0)
+    key_rows = key_rows.at[:, 8].set(key_opa)
 
-    # per-tile ranges via vectorized searchsorted
-    tid_range = jnp.arange(num_tiles + 1, dtype=jnp.int32)
-    bounds = jnp.searchsorted(sorted_tile, tid_range, side="left").astype(jnp.int32)
-    tile_start = bounds[:-1]
-    tile_count_full = bounds[1:] - bounds[:-1]
+    operands = (tile,) + tuple(key_rows[:, i] for i in range(DATA_ROWS)) + (key_gidx,)
+    sorted_ops = jax.lax.sort(operands, num_keys=1, is_stable=True)
+    sorted_tile = sorted_ops[0]
+    data = jnp.stack(
+        list(sorted_ops[1 : 1 + DATA_ROWS])
+        + [jnp.zeros_like(sorted_ops[1])] * (DATA_ROWS_PADDED - DATA_ROWS),
+        axis=0,
+    )  # [16, K]
+    sorted_gidx = sorted_ops[-1]
+
+    tile_start, tile_count = _tile_bounds(sorted_tile, num_tiles)
+    dropped = jnp.maximum(total - k_cap, 0).astype(jnp.int32)
+    return StreamBins(data, sorted_gidx, tile_start, tile_count, dropped)
+
+
+def bin_gaussians(prep: Preprocessed, width: int, height: int, cfg: RasterConfig) -> TileBins:
+    """Dense-list binning for the XLA compositor (golden/autodiff path)."""
+    tiles_x, tiles_y = grid_dims(width, height)
+    k_cap = cfg.max_keys
+    sorted_tile, sorted_pos, order, total = _expand_keys(prep, width, height, k_cap)
+    tile_start, tile_count_full = _tile_bounds(sorted_tile, tiles_x * tiles_y)
     tile_count = jnp.minimum(tile_count_full, cfg.tile_list_len)
 
-    # dense [num_tiles, L] table of gaussian ids (nearest-first), -1 padded
+    sorted_gidx = order[jnp.maximum(sorted_pos, 0)].astype(jnp.int32)
     l_idx = jnp.arange(cfg.tile_list_len, dtype=jnp.int32)
     flat_idx = tile_start[:, None] + l_idx[None, :]
     in_list = l_idx[None, :] < tile_count[:, None]

@@ -1,0 +1,90 @@
+"""Pallas rasterizer tests (interpreter mode on CPU): forward parity with
+the XLA golden path and custom-VJP gradient parity with autodiff."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from scorp_tpu.ops.raster import RasterConfig, rasterize_xla
+from scorp_tpu.ops.raster.pallas import rasterize_pallas
+from scorp_tpu.ops.raster.pallas_fwd import rasterize_pallas_fwd_only
+from tests.test_raster import BG, CAM, make_scene
+
+CFG = RasterConfig(max_keys=1 << 14, tile_list_len=256, chunk=16, pallas_chunk=128)
+
+
+class TestPallasForward:
+    def test_matches_xla(self):
+        xyz, scales, quats, opa, shs = make_scene(n=150, seed=2)
+        out_x = rasterize_xla(
+            xyz, opa, CAM, BG, shs=shs, sh_degree=3, scales=scales, quats=quats, cfg=CFG
+        )
+        out_p = rasterize_pallas_fwd_only(
+            xyz, opa, CAM, BG, shs=shs, sh_degree=3, scales=scales, quats=quats,
+            cfg=CFG, interpret=True,
+        )
+        np.testing.assert_allclose(out_p.color, out_x.color, atol=3e-6)
+        np.testing.assert_allclose(out_p.alpha, out_x.alpha, atol=3e-6)
+        np.testing.assert_allclose(out_p.depth_accum, out_x.depth_accum, atol=3e-5)
+        np.testing.assert_array_equal(out_p.radii, out_x.radii)
+
+    def test_differentiable_path_forward(self):
+        xyz, scales, quats, opa, shs = make_scene(n=80, seed=3)
+        out_x = rasterize_xla(
+            xyz, opa, CAM, BG, shs=shs, sh_degree=0, scales=scales, quats=quats, cfg=CFG
+        )
+        out_p = rasterize_pallas(
+            xyz, opa, CAM, BG, shs=shs, sh_degree=0, scales=scales, quats=quats,
+            cfg=CFG, interpret=True,
+        )
+        np.testing.assert_allclose(out_p.color, out_x.color, atol=3e-6)
+
+
+class TestPallasVJP:
+    def test_grads_match_xla(self):
+        xyz, scales, quats, opa, shs = make_scene(n=96, seed=5)
+        target = jnp.zeros((3, 48, 64))
+        deltas = jnp.zeros((96, 2))
+
+        def loss(raster, interp):
+            def f(xyz, scales, quats, opa, shs, deltas):
+                kw = {"interpret": True} if interp else {}
+                out = raster(
+                    xyz, opa, CAM, BG, shs=shs, sh_degree=1,
+                    scales=scales, quats=quats, screen_deltas=deltas, cfg=CFG, **kw
+                )
+                return (
+                    ((out.color - target) ** 2).mean()
+                    + 0.1 * (out.alpha ** 2).mean()
+                    + 0.05 * (out.depth_accum ** 2).mean()
+                )
+            return f
+
+        g_x = jax.grad(loss(rasterize_xla, False), argnums=(0, 1, 2, 3, 4, 5))(
+            xyz, scales, quats, opa, shs, deltas
+        )
+        g_p = jax.grad(loss(rasterize_pallas, True), argnums=(0, 1, 2, 3, 4, 5))(
+            xyz, scales, quats, opa, shs, deltas
+        )
+        names = ["xyz", "scales", "quats", "opa", "shs", "deltas"]
+        for a, b, name in zip(g_p, g_x, names):
+            scale = max(float(jnp.abs(b).max()), 1e-8)
+            np.testing.assert_allclose(a, b, atol=2e-5 * max(scale, 1.0) + 1e-9,
+                                       err_msg=name)
+
+    def test_bg_gradient(self):
+        xyz, scales, quats, opa, shs = make_scene(n=32, seed=7)
+
+        def f_bg(raster, interp):
+            def f(bg):
+                kw = {"interpret": True} if interp else {}
+                out = raster(
+                    xyz, opa, CAM, bg, shs=shs, sh_degree=0,
+                    scales=scales, quats=quats, cfg=CFG, **kw
+                )
+                return (out.color ** 2).mean()
+            return f
+
+        g_x = jax.grad(f_bg(rasterize_xla, False))(BG)
+        g_p = jax.grad(f_bg(rasterize_pallas, True))(BG)
+        np.testing.assert_allclose(g_p, g_x, atol=1e-6)

@@ -51,15 +51,15 @@ def main():
     import jax.numpy as jnp
 
     from scorp_tpu.ops.raster import RasterConfig
-    from scorp_tpu.ops.raster.xla import rasterize_xla
+    from scorp_tpu.ops.raster import rasterize
 
     xyz, shs, scales, quats, opacity, cam = build_scene()
-    cfg = RasterConfig(max_keys=1 << 22, tile_list_len=4096, chunk=64)
+    cfg = RasterConfig(max_keys=1 << 21, tile_list_len=4096, chunk=64, pallas_chunk=256)
     bg = jnp.zeros(3, jnp.float32)
 
     @jax.jit
     def render_frame(xyz, shs, scales, quats, opacity):
-        out = rasterize_xla(
+        out = rasterize(
             xyz, opacity, cam, bg, shs=shs, sh_degree=3,
             scales=scales, quats=quats, cfg=cfg,
         )

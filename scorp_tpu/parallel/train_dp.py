@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from ..core.camera import CameraJax
 from ..ops.losses import l1_loss, ssim
 from ..ops.raster import RasterConfig
-from ..ops.raster.xla import rasterize_xla
+from ..ops.raster import rasterize
 from .. train.state import AdamState, GaussianState, adam_update
 from ..train.step import OptParams, compute_lrs
 
@@ -55,7 +55,7 @@ def dp_train_step(
             height=height,
         )
         shs = jnp.concatenate([params["f_dc"], params["f_rest"]], axis=1)
-        out = rasterize_xla(
+        out = rasterize(
             params["xyz"],
             jax.nn.sigmoid(params["opacity"][:, 0]),
             cam, bg,

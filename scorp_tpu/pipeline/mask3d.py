@@ -29,7 +29,7 @@ from PIL import Image
 
 from ..core.camera import CameraJax
 from ..ops.raster import RasterConfig
-from ..ops.raster.pallas import rasterize_pallas
+from ..ops.raster import rasterize
 from ..ops.raster.common import preprocess
 from ..render import default_raster_config
 from ..train.state import GaussianState
@@ -40,7 +40,7 @@ def _vote_step(params, alive, cam: CameraJax, signed_mask, bg, *, cfg: RasterCon
     """One camera's signed gradient votes [N] (+ inside-mask evidence)."""
 
     def masked_mean(colors):
-        out = rasterize_pallas(
+        out = rasterize(
             params["xyz"],
             jax.nn.sigmoid(params["opacity"][:, 0]),
             cam, bg,

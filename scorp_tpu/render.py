@@ -19,7 +19,7 @@ import numpy as np
 from .core.camera import CameraJax
 from .core.plyio import GaussianData
 from .ops.raster import RasterConfig
-from .ops.raster.xla import rasterize_xla
+from .ops.raster import rasterize
 from .train.state import GaussianState, from_gaussian_data
 
 
@@ -40,7 +40,7 @@ def _render_jit(
     else:
         kwargs["shs"] = jnp.concatenate([params["f_dc"], params["f_rest"]], axis=1)
         kwargs["sh_degree"] = sh_degree
-    out = rasterize_xla(
+    out = rasterize(
         params["xyz"], jax.nn.sigmoid(params["opacity"][:, 0]), cam, bg, **kwargs
     )
     depth = out.depth_accum / jnp.where(out.alpha == 0.0, 1.0, out.alpha)

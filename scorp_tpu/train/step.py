@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..core.camera import CameraJax
 from ..ops.losses import isotropic_loss, l1_loss, ssim
 from ..ops.raster import RasterConfig
-from ..ops.raster.xla import rasterize_xla
+from ..ops.raster import rasterize
 from .state import AdamState, GaussianState, adam_update, expon_lr
 
 
@@ -132,7 +132,7 @@ def train_step(
 
     def loss_fn(params, deltas):
         shs = jnp.concatenate([params["f_dc"], params["f_rest"]], axis=1)
-        out = rasterize_xla(
+        out = rasterize(
             params["xyz"],
             jax.nn.sigmoid(params["opacity"][:, 0]),
             cam,

@@ -169,7 +169,13 @@ def align(
     rotations_path: str = "rotation_matrices",
     visual_match: bool = False,
     matcher_backend: str = "auto",
+    scene_render=None,
 ):
+    """`scene_render(cam, gaussians, bg) -> dict` renders the SCENE object's
+    depth (3DGS by default; the 2DGS twin passes a surfel renderer,
+    /root/reference/align_2dgs_clpe_9dof.py:355)."""
+    if scene_render is None:
+        scene_render = _render_np
     rotations_list = load_rotation_bank(rotations_path, 64) if rotations_path else None
 
     scene = Scene(dataset, shuffle=False, load_gaussians=False)
@@ -201,7 +207,7 @@ def align(
         area = float(mask.sum())
         if area > 0:
             image = rgba[:3] * mask
-            pkg = _render_np(cam, gaussian_original, bg)
+            pkg = scene_render(cam, gaussian_original, bg)
             depth = pkg["render_depth"] * mask
             img_crop, depth_crop, xxyy = crop_with_alpha(image, mask, depth, border=200)
             xxyys.append(xxyy)

@@ -249,7 +249,8 @@ def preprocess(
         color = colors_precomp
     else:
         dirs = means3d - cam.campos[None, :]
-        dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+        # eps inside the sqrt: x/||x|| has a NaN VJP at x=0
+        dirs = dirs * jax.lax.rsqrt(jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-20)
         color = jnp.maximum(sh_lib.eval_sh(sh_degree, shs, dirs) + 0.5, 0.0)
 
     rect = jnp.stack([x0, y0, x1, y1], axis=-1)

@@ -35,12 +35,17 @@ from ..render import default_raster_config
 from ..train.state import GaussianState
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _vote_step(params, alive, cam: CameraJax, signed_mask, bg, *, cfg: RasterConfig):
+@partial(jax.jit, static_argnames=("cfg", "surfel"))
+def _vote_step(params, alive, cam: CameraJax, signed_mask, bg, *, cfg: RasterConfig,
+               surfel: bool = False):
     """One camera's signed gradient votes [N] (+ inside-mask evidence)."""
 
     def masked_mean(colors):
-        out = rasterize(
+        if surfel:
+            from ..ops.raster.surfel import rasterize_surfel_xla as raster_fn
+        else:
+            raster_fn = rasterize
+        out = raster_fn(
             params["xyz"],
             jax.nn.sigmoid(params["opacity"][:, 0]),
             cam, bg,
@@ -97,6 +102,7 @@ def get_mask3d(
     voting_method: Literal["gradient", "binary", "projection"] = "gradient",
     bg=None,
     cfg: RasterConfig | None = None,
+    surfel: bool = False,
 ) -> np.ndarray:
     """Returns [num_prompts, N] boolean per-Gaussian masks (padded N)."""
     rgba_root = os.path.join(data_dir, "masked_image_rgba")
@@ -127,12 +133,12 @@ def get_mask3d(
             elif voting_method == "binary":
                 # reference: +1 if any masked contribution, -1 if any inverse
                 m = jnp.asarray(mask.astype(np.float32))
-                v_in = _vote_step(state.params, state.alive, cam, m, bg, cfg=cfg)
-                v_out = _vote_step(state.params, state.alive, cam, 1.0 - m, bg, cfg=cfg)
+                v_in = _vote_step(state.params, state.alive, cam, m, bg, cfg=cfg, surfel=surfel)
+                v_out = _vote_step(state.params, state.alive, cam, 1.0 - m, bg, cfg=cfg, surfel=surfel)
                 v = (v_in > 0).astype(jnp.float32) - (v_out > 0).astype(jnp.float32)
             else:
                 signed = jnp.asarray(np.where(mask, 1.0, -1.0).astype(np.float32))
-                v = _vote_step(state.params, state.alive, cam, signed, bg, cfg=cfg)
+                v = _vote_step(state.params, state.alive, cam, signed, bg, cfg=cfg, surfel=surfel)
             votes[k] += np.asarray(v)
 
     return votes > 0

@@ -1,0 +1,201 @@
+"""Auxiliary subsystem tests: mesh extraction (TSDF + surface nets), camera
+paths, network-GUI protocol framing, offline segmentation backend."""
+
+import json
+import os
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+from scorp_tpu.core.camera import fov2focal
+from scorp_tpu.scene.cameras import Camera
+from tests.synth import orbit_pose
+
+
+def make_cam(angle, radius=3.0, size=64, fov=0.9, tmp_img=None):
+    R, T = orbit_pose(angle, radius=radius, height=0.0)
+    return Camera(0, R, T, fov, fov, (size, size), tmp_img or "/dev/null",
+                  image_name=f"c{angle:.2f}")
+
+
+class TestMesh:
+    def test_sphere_extraction(self):
+        """Analytic sphere depth maps -> mesh vertices near the radius."""
+        from scorp_tpu.pipeline.mesh import GaussianExtractor
+
+        r_sphere = 0.8
+        size = 64
+
+        def render_fn(cam):
+            cj = cam.to_jax()
+            w = h = size
+            fx = w / (2 * float(cj.tanfovx))
+            fy = h / (2 * float(cj.tanfovy))
+            c2w = np.linalg.inv(np.asarray(cj.viewmatrix).T)
+            ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+            dirs = np.stack([(xs - w / 2 + 0.5) / fx, (ys - h / 2 + 0.5) / fy,
+                             np.ones((h, w))], -1)
+            dirs_w = dirs @ c2w[:3, :3].T
+            o = c2w[:3, 3]
+            # ray-sphere intersection |o + t d| = r
+            b = 2 * (dirs_w @ o)
+            a = (dirs_w**2).sum(-1)
+            c = (o @ o) - r_sphere**2
+            disc = b**2 - 4 * a * c
+            t = np.where(disc > 0, (-b - np.sqrt(np.maximum(disc, 0))) / (2 * a), 0.0)
+            depth = np.where(t > 0, t * dirs[..., 2] * np.linalg.norm(dirs_w, axis=-1)
+                             / np.linalg.norm(dirs, axis=-1), 0.0)
+            # view z = t * (unit view dir z) -- dirs has z=1 per unit of t in
+            # view space when dirs_w is the same length; simpler: view z of hit
+            hit = o + t[..., None] * dirs_w
+            view = np.concatenate([hit, np.ones((h, w, 1))], -1) @ np.asarray(cj.viewmatrix)
+            depth = np.where(t > 0, view[..., 2], 0.0)
+            return {
+                "render": np.full((3, h, w), 0.5, np.float32),
+                "render_depth": depth[None].astype(np.float32),
+            }
+
+        cams = [make_cam(a, radius=3.0, size=size) for a in np.linspace(0, 2 * np.pi, 12,
+                                                                        endpoint=False)]
+        ex = GaussianExtractor(render_fn, cams)
+        verts, faces, colors = ex.extract_mesh_bounded(
+            np.zeros(3), 1.2, voxel_size=0.05, sdf_trunc=0.15, depth_trunc=5.0,
+            max_resolution=64,
+        )
+        assert len(verts) > 100
+        assert len(faces) > 100
+        radii = np.linalg.norm(verts, axis=1)
+        # most vertices near the sphere surface
+        assert np.median(np.abs(radii - 0.8)) < 0.06, np.median(radii)
+
+    def test_mesh_ply_roundtrip(self, tmp_path):
+        from scorp_tpu.pipeline.mesh import save_mesh_ply
+
+        verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], float)
+        faces = np.array([[0, 1, 2]])
+        path = str(tmp_path / "m.ply")
+        save_mesh_ply(path, verts, faces, np.ones((3, 3)) * 0.5)
+        data = open(path, "rb").read()
+        assert b"element vertex 3" in data
+        assert b"element face 1" in data
+
+
+class TestRenderPaths:
+    def test_ellipse_path(self):
+        from scorp_tpu.pipeline.render_paths import generate_ellipse_path
+
+        cams = [make_cam(a) for a in np.linspace(0, 2 * np.pi, 10, endpoint=False)]
+        path = generate_ellipse_path(cams, n_frames=24)
+        assert len(path) == 24
+        centers = np.stack([c.camera_center for c in path])
+        # path stays near the training orbit radius
+        assert 1.5 < np.linalg.norm(centers, axis=1).mean() < 4.5
+        # every camera is a valid MiniCam convertible to a device camera
+        cj = path[0].to_jax()
+        assert cj.width == 64
+
+    def test_video_export(self, tmp_path):
+        import cv2
+        from scorp_tpu.pipeline.render_paths import create_videos, save_img_u8
+
+        frame_dir = tmp_path / "frames"
+        frame_dir.mkdir()
+        rng = np.random.default_rng(0)
+        for i in range(5):
+            save_img_u8(rng.uniform(size=(3, 32, 32)), str(frame_dir / f"f_{i:03d}.png"))
+        out = create_videos(str(frame_dir), str(tmp_path / "out.mp4"), fps=5)
+        assert os.path.getsize(out) > 0
+
+
+class TestNetworkGUI:
+    def test_protocol_roundtrip(self):
+        from scorp_tpu.viewer import NetworkGUI
+
+        gui = NetworkGUI()
+        gui.init("127.0.0.1", 0)
+        port = gui.listener.getsockname()[1]
+
+        payload = {
+            "resolution_x": 32, "resolution_y": 24, "train": 1,
+            "fov_y": 0.8, "fov_x": 0.9, "z_near": 0.01, "z_far": 100.0,
+            "shs_python": 0, "rot_scale_python": 0, "keep_alive": 1,
+            "scaling_modifier": 1.0,
+            "view_matrix": list(np.eye(4).flatten().astype(float)),
+            "view_projection_matrix": list(np.eye(4).flatten().astype(float)),
+        }
+        received = {}
+
+        def client():
+            s = socket.create_connection(("127.0.0.1", port), timeout=10)
+            msg = json.dumps(payload).encode()
+            s.sendall(len(msg).to_bytes(4, "little") + msg)
+            img = b""
+            expected = 32 * 24 * 3
+            try:
+                while len(img) < expected:
+                    chunk = s.recv(65536)
+                    if not chunk:
+                        break
+                    img += chunk
+                received["image_len"] = len(img)
+            finally:
+                s.close()
+
+        t = threading.Thread(target=client, daemon=True)
+        t.start()
+        import time
+        for _ in range(200):
+            gui.try_connect()
+            if gui.conn is not None:
+                break
+            time.sleep(0.02)
+        assert gui.conn is not None, "viewer client never connected"
+        cam, do_training, *_ = gui.receive()
+        assert cam is not None and cam.image_width == 32
+        assert do_training
+        img = NetworkGUI.encode_image(np.zeros((3, 24, 32), np.float32))
+        gui.send(img, "ok")
+        t.join(timeout=10)
+        # client may also slurp the trailing 4-byte length + verify string
+        assert received.get("image_len", 0) >= 32 * 24 * 3
+        gui.conn.close()
+        gui.listener.close()
+
+
+class TestOfflineSegmentation:
+    def test_maskdir_backend(self, tmp_path):
+        import cv2
+        from scorp_tpu.apps.segmentation_2d import get_mask2d
+        from scorp_tpu.pipeline.perception import BoxfileDetector, MaskdirSegmenter
+
+        # synthetic frames + offline masks
+        img_dir = tmp_path / "images"
+        mask_dir = tmp_path / "premasks" / "cup"
+        img_dir.mkdir()
+        mask_dir.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        paths = []
+        for i in range(4):
+            name = f"img_{i:03d}"
+            frame = rng.integers(0, 255, (32, 48, 3), np.uint8)
+            cv2.imwrite(str(img_dir / f"{name}.png"), frame)
+            mask = np.zeros((32, 48), np.uint8)
+            mask[8:24, 12 + i:30 + i] = 255
+            cv2.imwrite(str(mask_dir / f"{name}.png"), mask)
+            paths.append(str(img_dir / f"{name}.png"))
+
+        get_mask2d(
+            prompt_list=["cup"], data_dir=str(tmp_path),
+            image_path_list=paths, first_image_name="img_001",
+            detector=BoxfileDetector({"cup": [0.5, 0.5, 0.6, 0.6]}),
+            segmenter=MaskdirSegmenter(str(tmp_path / "premasks"), ["cup"]),
+        )
+        out_dir = tmp_path / "masked_image_rgba" / "cup"
+        files = sorted(os.listdir(out_dir))
+        assert len(files) == 4
+        rgba = cv2.imread(str(out_dir / files[0]), cv2.IMREAD_UNCHANGED)
+        assert rgba.shape[2] == 4
+        assert (rgba[:, :, 3] > 0).sum() > 50
+        assert os.path.exists(tmp_path / "masked_image_rgba" / "masked" / files[0])

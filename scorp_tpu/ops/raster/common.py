@@ -321,44 +321,47 @@ def _tile_bounds(sorted_tile: jnp.ndarray, num_tiles: int):
 def bin_stream(prep: Preprocessed, width: int, height: int, cfg: RasterConfig) -> StreamBins:
     """Stream binning for the Pallas compositor.
 
-    Expands keys, gathers each key's 10 data columns once (pre-sort, by the
-    monotone expansion index), and carries them through the stable tile sort
-    as payloads — no post-sort gathers.
+    The expensive per-key data movement is ONE row gather: the stable tile
+    sort carries only the integer expansion index, and the sorted indices
+    gather the 11 data columns (10 f32 + bitcast gaussian id) straight from
+    the N-sized per-gaussian table. Gradients flow exclusively through that
+    gather (the sort is integer-only), so the VJP is a single scatter-add.
     """
     tiles_x, tiles_y = grid_dims(width, height)
     num_tiles = tiles_x * tiles_y
     k_cap = cfg.max_keys
-    n = prep.xy.shape[0]
 
     tile, g_of_k, order, total = _expand_keys_core(prep, width, height, k_cap)
 
-    rows = jnp.concatenate(
+    # depth-ordered per-gaussian table [N, 11]: 10 data columns + source id
+    # (identity column: after the [order] permutation, row i carries order[i])
+    n = prep.xy.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    table = jnp.concatenate(
         [
             prep.xy,
             prep.conic,
             prep.color,
             prep.opacity[:, None],
             prep.depth[:, None],
+            jax.lax.bitcast_convert_type(iota, jnp.float32),
         ],
         axis=1,
-    )[order]  # depth-sorted per-gaussian rows [N, 10]
-    g_safe = jnp.maximum(g_of_k, 0)
-    key_rows = rows[g_safe]                      # [K, 10] one gather
-    key_gidx = order[g_safe].astype(jnp.int32)   # [K]
+    )[order]
 
-    in_range = tile < num_tiles
-    key_opa = jnp.where(in_range, key_rows[:, 8], 0.0)
-    key_rows = key_rows.at[:, 8].set(key_opa)
+    sorted_tile, g_sorted = jax.lax.sort(
+        (tile, jnp.maximum(g_of_k, 0)), num_keys=1, is_stable=True
+    )
+    key_rows = table[g_sorted]                   # [K, 11] the one big gather
+    sorted_gidx = jax.lax.bitcast_convert_type(key_rows[:, DATA_ROWS], jnp.int32)
 
-    operands = (tile,) + tuple(key_rows[:, i] for i in range(DATA_ROWS)) + (key_gidx,)
-    sorted_ops = jax.lax.sort(operands, num_keys=1, is_stable=True)
-    sorted_tile = sorted_ops[0]
-    data = jnp.stack(
-        list(sorted_ops[1 : 1 + DATA_ROWS])
-        + [jnp.zeros_like(sorted_ops[1])] * (DATA_ROWS_PADDED - DATA_ROWS),
+    data = jnp.concatenate(
+        [
+            key_rows[:, :DATA_ROWS].T,
+            jnp.zeros((DATA_ROWS_PADDED - DATA_ROWS, k_cap), jnp.float32),
+        ],
         axis=0,
     )  # [16, K]
-    sorted_gidx = sorted_ops[-1]
 
     tile_start, tile_count = _tile_bounds(sorted_tile, num_tiles)
     dropped = jnp.maximum(total - k_cap, 0).astype(jnp.int32)

@@ -63,8 +63,8 @@ def _fwd_kernel(
     out_alpha_ref,   # [1, 1, P]
     out_ncontrib_ref,  # [1, 1, P] i32: keys processed before termination
     # scratch
-    chunk_vmem,      # [16, C] f32
-    sem,
+    chunk_vmem,      # [2, 16, C] f32 (double buffer)
+    sem,             # [2] DMA semaphores
     *,
     tiles_x: int,
     chunk: int,
@@ -87,21 +87,33 @@ def _fwd_kernel(
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
+    def _copy(ci, slot):
+        offset = pl.multiple_of(base + ci * chunk, 128)
+        return pltpu.make_async_copy(
+            data_ref.at[:, pl.ds(offset, chunk)], chunk_vmem.at[slot], sem.at[slot]
+        )
+
+    # double-buffered pipeline: chunk ci is in flight when its body starts
+    @pl.when(n_chunks > 0)
+    def _():
+        _copy(jnp.int32(0), 0).start()
+
     def body(carry):
         ci, t_carry, acc_c, acc_d, n_inc = carry
-        offset = pl.multiple_of(base + ci * chunk, 128)
-        copy = pltpu.make_async_copy(
-            data_ref.at[:, pl.ds(offset, chunk)], chunk_vmem, sem
-        )
-        copy.start()
-        copy.wait()
+        slot = ci % 2
+        _copy(ci, slot).wait()
 
-        gx = chunk_vmem[0:1, :]      # [1, C]
-        gy = chunk_vmem[1:2, :]
-        ca = chunk_vmem[2:3, :]
-        cb = chunk_vmem[3:4, :]
-        cc = chunk_vmem[4:5, :]
-        opa = chunk_vmem[8:9, :]
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            _copy(ci + 1, 1 - slot).start()
+
+        cur = chunk_vmem.at[slot]
+        gx = cur[0:1, :]             # [1, C]
+        gy = cur[1:2, :]
+        ca = cur[2:3, :]
+        cb = cur[3:4, :]
+        cc = cur[4:5, :]
+        opa = cur[8:9, :]
 
         dx = gx - pix_x              # [p, C]
         dy = gy - pix_y
@@ -117,14 +129,14 @@ def _fwd_kernel(
         cum_before = cum_incl / (1.0 - alpha)                      # exact: alpha < 1
         weight = jnp.where(include, alpha * t_carry * cum_before, 0.0)
 
-        colors = chunk_vmem[5:8, :]                                # [3, C]
+        colors = cur[5:8, :]                                       # [3, C]
         acc_c = acc_c + jax.lax.dot_general(
             colors, weight,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )                                                           # [3, p]
-        depth = chunk_vmem[9:10, :]
+        depth = cur[9:10, :]
         acc_d = acc_d + jax.lax.dot_general(
             depth, weight,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -148,9 +160,13 @@ def _fwd_kernel(
     acc_c0 = jnp.zeros((3, p), jnp.float32)
     acc_d0 = jnp.zeros((1, p), jnp.float32)
     n0 = jnp.zeros((p, 1), jnp.int32)
-    _, t_final, acc_c, acc_d, n_inc = jax.lax.while_loop(
+    ci_final, t_final, acc_c, acc_d, n_inc = jax.lax.while_loop(
         cond, body, (jnp.int32(0), t0, acc_c0, acc_d0, n0)
     )
+    # drain the in-flight prefetch if the loop exited early
+    @pl.when(ci_final < n_chunks)
+    def _():
+        _copy(ci_final, ci_final % 2).wait()
 
     t_row = t_final.reshape(1, p)
     bg = bg_ref
@@ -203,8 +219,8 @@ def _composite_kernel_call(
             pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((data.shape[0], chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, data.shape[0], chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     kernel = functools.partial(_fwd_kernel, tiles_x=tiles_x, chunk=chunk)

@@ -1,0 +1,117 @@
+"""Image-quality evaluation harness: PSNR / SSIM / LPIPS over rendered vs
+ground-truth image directories.
+
+The reference implements PSNR/MSE (gs3dgs/utils/image_utils.py:15-20) and
+SSIM (loss_utils.py:43-73) and lists LPIPS parity in its benchmark gate
+without an in-repo LPIPS call (SURVEY.md §5.5) — this harness closes that
+gap. LPIPS uses the `lpips` torch package or a torchvision-VGG fallback when
+available; otherwise it is reported as null (no network egress to fetch
+weights here).
+
+Usage: python -m scorp_tpu.apps.metrics --pred <dir> --gt <dir> [--use_alpha]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from argparse import ArgumentParser
+
+import numpy as np
+from PIL import Image
+
+import jax.numpy as jnp
+
+from ..ops.losses import psnr as psnr_fn
+from ..ops.losses import ssim as ssim_fn
+
+
+def _load(path: str, size=None) -> tuple[np.ndarray, np.ndarray | None]:
+    with Image.open(path) as img:
+        if size is not None and img.size != size:
+            img = img.resize(size)
+        arr = np.asarray(img, np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = arr[..., None].repeat(3, -1)
+    alpha = arr[..., 3] if arr.shape[-1] == 4 else None
+    return arr[..., :3].transpose(2, 0, 1), alpha
+
+
+class LPIPSBackend:
+    def __init__(self):
+        self._fn = None
+        self.available = False
+        try:
+            import lpips  # type: ignore
+            import torch
+
+            net = lpips.LPIPS(net="vgg")
+
+            def run(a, b):
+                ta = torch.from_numpy(a[None] * 2 - 1)
+                tb = torch.from_numpy(b[None] * 2 - 1)
+                with torch.no_grad():
+                    return float(net(ta, tb).item())
+
+            self._fn = run
+            self.available = True
+        except Exception:
+            pass
+
+    def __call__(self, a: np.ndarray, b: np.ndarray):
+        if not self.available:
+            return None
+        return self._fn(a.astype(np.float32), b.astype(np.float32))
+
+
+def evaluate_dirs(pred_dir: str, gt_dir: str, use_alpha: bool = False) -> dict:
+    names = sorted(
+        n for n in os.listdir(pred_dir) if n.lower().endswith((".png", ".jpg", ".jpeg"))
+    )
+    if not names:
+        raise FileNotFoundError(f"no images in {pred_dir}")
+    lp = LPIPSBackend()
+    psnrs, ssims, lpipss = [], [], []
+    for name in names:
+        gt_path = os.path.join(gt_dir, name)
+        if not os.path.exists(gt_path):
+            base = name.rsplit(".", 1)[0]
+            cands = [f for f in os.listdir(gt_dir) if f.rsplit(".", 1)[0] == base]
+            if not cands:
+                print(f"skipping {name}: no ground truth")
+                continue
+            gt_path = os.path.join(gt_dir, cands[0])
+        pred, pred_a = _load(os.path.join(pred_dir, name))
+        gt, gt_a = _load(gt_path, size=(pred.shape[2], pred.shape[1]))
+        if use_alpha and (pred_a is not None or gt_a is not None):
+            alpha = pred_a if pred_a is not None else gt_a
+            pred = pred * alpha[None]
+            gt = gt * alpha[None]
+        psnrs.append(float(psnr_fn(jnp.asarray(pred), jnp.asarray(gt)).mean()))
+        ssims.append(float(ssim_fn(jnp.asarray(pred), jnp.asarray(gt))))
+        v = lp(pred, gt)
+        if v is not None:
+            lpipss.append(v)
+    result = {
+        "n_images": len(psnrs),
+        "psnr": float(np.mean(psnrs)) if psnrs else None,
+        "ssim": float(np.mean(ssims)) if ssims else None,
+        "lpips": float(np.mean(lpipss)) if lpipss else None,
+        "lpips_backend": lp.available,
+    }
+    return result
+
+
+def main(argv=None):
+    parser = ArgumentParser()
+    parser.add_argument("--pred", type=str, required=True)
+    parser.add_argument("--gt", type=str, required=True)
+    parser.add_argument("--use_alpha", action="store_true",
+                        help="mask both images by the prediction's alpha")
+    args = parser.parse_args(argv if argv is not None else sys.argv[1:])
+    print(json.dumps(evaluate_dirs(args.pred, args.gt, args.use_alpha)))
+
+
+if __name__ == "__main__":
+    main()

@@ -153,13 +153,17 @@ def densify_and_prune(
 
 
 @jax.jit
-def reset_opacity(state: GaussianState, adam: AdamState):
+def reset_opacity(state: GaussianState, adam: AdamState, num_frozen=0):
     """opacity <- inverse_sigmoid(min(opacity, 0.01)); zero its Adam moments
-    (reset_opacity + replace_tensor_to_optimizer, gaussian_model.py:253-256)."""
+    (reset_opacity + replace_tensor_to_optimizer, gaussian_model.py:253-256).
+    `num_frozen` rows at the front are skipped (the 2DGS tuning mask,
+    gs2dgs/scene/gaussian_model.py:211-220)."""
     op = _sigmoid(state.params["opacity"])
     new_logit = _inverse_sigmoid(jnp.minimum(op, 0.01))
     params = dict(state.params)
-    params["opacity"] = jnp.where(state.alive[:, None], new_logit, params["opacity"])
+    row = jax.lax.broadcasted_iota(jnp.int32, (state.capacity, 1), 0)
+    resettable = state.alive[:, None] & (row >= num_frozen)
+    params["opacity"] = jnp.where(resettable, new_logit, params["opacity"])
     m = dict(adam.m)
     v = dict(adam.v)
     m["opacity"] = jnp.zeros_like(m["opacity"])

@@ -118,6 +118,7 @@ def train_step(
     gt_depth_est: jnp.ndarray,        # [1, H, W] (zeros if absent)
     iteration: jnp.ndarray,           # scalar i32 (1-based)
     bg: jnp.ndarray,                  # [3]
+    freeze_rows=0,                    # zero grads of the first K rows (2DGS tuning mask)
     *,
     opt: OptParams,
     sh_degree: int,
@@ -200,6 +201,14 @@ def train_step(
     )
 
     # Adam step (skipped on the final iteration, train_3dgs.py:190-193)
+    # 2DGS tuning mask: freeze the first K rows by zeroing their gradients
+    # (gs2dgs/scene/gaussian_model.py:498-508)
+    row = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    unfrozen = (row >= freeze_rows).astype(jnp.float32)
+    param_grads = {
+        k: v * unfrozen.reshape((cap,) + (1,) * (v.ndim - 1))
+        for k, v in param_grads.items()
+    }
     lrs = compute_lrs(opt, iteration)
     new_params, new_adam = adam_update(state.params, param_grads, adam, lrs, frozen=frozen)
     do_step = iteration < opt.iterations

@@ -50,6 +50,7 @@ def train_step_2d(
     gt_depth_est: jnp.ndarray,
     iteration: jnp.ndarray,
     bg: jnp.ndarray,
+    freeze_rows=0,                    # zero grads of the first K rows (2DGS tuning mask)
     *,
     opt: Opt2DParams,
     sh_degree: int,
@@ -142,6 +143,14 @@ def train_step_2d(
         denom=jnp.where(track & visible, state.denom + 1.0, state.denom),
     )
 
+    # 2DGS tuning mask: freeze the first K rows by zeroing their gradients
+    # (gs2dgs/scene/gaussian_model.py:498-508)
+    row = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
+    unfrozen = (row >= freeze_rows).astype(jnp.float32)
+    param_grads = {
+        k: v * unfrozen.reshape((cap,) + (1,) * (v.ndim - 1))
+        for k, v in param_grads.items()
+    }
     lrs = compute_lrs(opt, iteration)
     new_params, new_adam = adam_update(state.params, param_grads, adam, lrs, frozen=frozen)
     do_step = iteration < opt.iterations

@@ -204,6 +204,14 @@ def training(
     os.makedirs(dataset.model_path, exist_ok=True)
     print(f"Output folder: {dataset.model_path}")
 
+    tb_writer = None
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        tb_writer = SummaryWriter(dataset.model_path)
+    except ImportError:
+        print("Tensorboard not available: not logging progress")
+
     scene = Scene(dataset, load_gaussians=False, max_sh_degree=dataset.sh_degree)
     op = opt_params_from_args(opt)
 
@@ -251,9 +259,17 @@ def training(
 
         # --- host-side housekeeping every iteration is just the meter ---
         meter.update(iteration, metrics)
+        if tb_writer is not None and iteration % 10 == 0:
+            tb_writer.add_scalar("train_loss_patches/l1_loss", float(metrics.l1), iteration)
+            tb_writer.add_scalar("train_loss_patches/total_loss", float(metrics.loss), iteration)
+            tb_writer.add_scalar("total_points", int(metrics.num_alive), iteration)
 
         if iteration in testing_iterations:
-            evaluate(scene, state, active_sh, bg_fixed, cfg, iteration, quiet=quiet)
+            results = evaluate(scene, state, active_sh, bg_fixed, cfg, iteration, quiet=quiet)
+            if tb_writer is not None:
+                for name, (l1v, psnrv) in results.items():
+                    tb_writer.add_scalar(f"{name}/loss_viewpoint - l1_loss", l1v, iteration)
+                    tb_writer.add_scalar(f"{name}/loss_viewpoint - psnr", psnrv, iteration)
         if iteration in saving_iterations:
             print(f"\n[ITER {iteration}] Saving Gaussians")
             scene.save(iteration, to_gaussian_data(state))
@@ -324,6 +340,8 @@ def main(argv=None):
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
     parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--profile", type=str, default=None,
+                        help="write a jax.profiler trace to this directory")
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
     args.save_iterations.append(args.iterations)
 
@@ -339,17 +357,26 @@ def main(argv=None):
     args.model_path = dataset.model_path
     save_cfg_args(dataset.model_path, Namespace(**vars(args)))
 
-    training(
-        dataset,
-        OptimizationParams.extract(args),
-        PipelineParams.extract(args),
-        args.test_iterations,
-        args.save_iterations,
-        args.checkpoint_iterations,
-        args.start_checkpoint,
-        args.debug_from,
-        quiet=args.quiet,
-    )
+    if args.profile:
+        import contextlib
+
+        ctx = jax.profiler.trace(args.profile)
+    else:
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+    with ctx:
+        training(
+            dataset,
+            OptimizationParams.extract(args),
+            PipelineParams.extract(args),
+            args.test_iterations,
+            args.save_iterations,
+            args.checkpoint_iterations,
+            args.start_checkpoint,
+            args.debug_from,
+            quiet=args.quiet,
+        )
     print("\nTraining complete.")
 
 

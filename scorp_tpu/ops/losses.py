@@ -100,3 +100,57 @@ def depth_normalize(depth: jnp.ndarray) -> jnp.ndarray:
     min_val = jax.lax.stop_gradient(depth.min())
     max_val = jax.lax.stop_gradient(depth.max())
     return (depth - min_val) / (max_val - min_val)
+
+
+def smooth_loss(disp: jnp.ndarray, img: jnp.ndarray) -> jnp.ndarray:
+    """Edge-aware second-order disparity smoothness
+    (/root/reference/gs3dgs/utils/loss_utils.py:28-36)."""
+    gdx = jnp.abs(disp[:, 1:-1, :-2] + disp[:, 1:-1, 2:] - 2 * disp[:, 1:-1, 1:-1])
+    gdy = jnp.abs(disp[:, :-2, 1:-1] + disp[:, 2:, 1:-1] - 2 * disp[:, 1:-1, 1:-1])
+    gix = jnp.mean(jnp.abs(img[:, 1:-1, :-2] - img[:, 1:-1, 2:]), 0, keepdims=True) * 0.5
+    giy = jnp.mean(jnp.abs(img[:, :-2, 1:-1] - img[:, 2:, 1:-1]), 0, keepdims=True) * 0.5
+    return (gdx * jnp.exp(-gix)).mean() + (gdy * jnp.exp(-giy)).mean()
+
+
+def pearson_depth_loss(depth_src: jnp.ndarray, depth_target: jnp.ndarray) -> jnp.ndarray:
+    """1 - Pearson correlation over [B, h, w] depth batches
+    (/root/reference/gs2dgs/utils/loss_utils.py:91-115)."""
+    src = depth_src - depth_src.mean(axis=(1, 2), keepdims=True)
+    tgt = depth_target - depth_target.mean(axis=(1, 2), keepdims=True)
+    src = src / (src.std(axis=(1, 2), keepdims=True) + 1e-6)
+    tgt = tgt / (tgt.std(axis=(1, 2), keepdims=True) + 1e-6)
+    return 1.0 - (src * tgt).mean(axis=(1, 2)).mean()
+
+
+def random_patch_loss(
+    depth_src: jnp.ndarray,
+    depth_tgt: jnp.ndarray,
+    box_p: int,
+    p_corr: float,
+    key,
+    loss_func: str = "l1",
+) -> jnp.ndarray:
+    """Patchwise normalized depth loss
+    (/root/reference/gs2dgs/utils/loss_utils.py:117-154): sample
+    p_corr·(H/box)(W/box) random box_p-sized patches, compare min-max
+    normalized depths."""
+    src = jnp.squeeze(depth_src)
+    tgt = jnp.squeeze(depth_tgt)
+    h, w = src.shape
+    n_corr = int(p_corr * (h // box_p) * (w // box_p))
+    kx, ky = jax.random.split(key)
+    x0 = jax.random.randint(kx, (n_corr,), 0, h - box_p)
+    y0 = jax.random.randint(ky, (n_corr,), 0, w - box_p)
+
+    def take(img, x, y):
+        return jax.lax.dynamic_slice(img, (x, y), (box_p, box_p))
+
+    ps = jax.vmap(lambda x, y: take(src, x, y))(x0, y0)
+    pt = jax.vmap(lambda x, y: take(tgt, x, y))(x0, y0)
+    if loss_func == "l1":
+        return l1_loss(depth_normalize(ps), depth_normalize(pt))
+    if loss_func == "l2":
+        return l2_loss(depth_normalize(ps), depth_normalize(pt))
+    if loss_func == "pearson":
+        return pearson_depth_loss(ps, pt)
+    raise ValueError(f"Unknown loss function: {loss_func}")

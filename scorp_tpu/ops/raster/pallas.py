@@ -87,14 +87,15 @@ def _make_composite(width: int, height: int, cfg: RasterConfig, interpret: bool)
 
         # map chunk-aligned padded gradients back to stream positions:
         # pos[j] = j + shift[tile(j)], shift recovered with a monotone
-        # scatter + cummax over tile starts
+        # scatter + cummax over tile starts; gather ROWS of the transposed
+        # buffer (a minor-axis gather on [16, K_pad] is ~2.5x slower)
         k = cfg.max_keys
         shift = chunk_base * chunk - base  # [T] non-decreasing
         shift_of_j = jax.lax.cummax(
             jnp.zeros(k, jnp.int32).at[tile_start].max(shift, mode="drop")
         )
         pos = jnp.arange(k, dtype=jnp.int32) + shift_of_j
-        d_data_stream = grads_padded[:, jnp.clip(pos, 0, k_pad - 1)]
+        d_data_stream = grads_padded.T[jnp.clip(pos, 0, k_pad - 1)].T
         # zero out the DMA tail padding columns of `data`
         pad_cols = data.shape[1] - k
         d_data = jnp.concatenate(

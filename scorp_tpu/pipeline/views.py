@@ -158,3 +158,96 @@ def merge_to_rgba(rgb: np.ndarray, mask: np.ndarray) -> np.ndarray:
     """[H,W,3] u8 + [H,W] bool -> [H,W,4] u8 with mask as alpha."""
     alpha = (mask > 0).astype(np.uint8) * 255
     return np.dstack([rgb, alpha])
+
+
+def parse_colmap_poses(colmap_path: str):
+    """COLMAP extrinsics -> (t_w2c [N,3], q_w2c [N,4], image names), sorted
+    by name (the reference views.py standalone parsers, :54-172)."""
+    from ..core import colmap as colmap_io
+
+    if colmap_path.endswith(".bin"):
+        images = colmap_io.read_extrinsics_binary(colmap_path)
+    else:
+        images = colmap_io.read_extrinsics_text(colmap_path)
+    entries = sorted(images.values(), key=lambda im: im.name)
+    t = np.stack([im.tvec for im in entries])
+    q = np.stack([im.qvec for im in entries])
+    names = [os.path.splitext(im.name)[0] for im in entries]
+    return t, q, names
+
+
+def parse_transforms_poses(path: str, is_opengl: bool = False):
+    """transforms json -> (t_c2w, R_c2w, image names) (views.py:131-172)."""
+    import json
+
+    with open(path) as f:
+        contents = json.load(f)
+    t_list, r_list, names = [], [], []
+    for frame in contents["frames"]:
+        name = os.path.splitext(os.path.basename(frame["file_path"]))[0]
+        transform = np.array(frame["transform_matrix"])
+        if is_opengl:
+            transform[:3, 1:3] *= -1
+        r_list.append(transform[:3, :3])
+        t_list.append(transform[:3, 3])
+        names.append(name)
+    return np.array(t_list), np.array(r_list), names
+
+
+def select_views_from_colmap(rgba_dir: str, colmap_path: str, img_num: int,
+                             quality_weight=0.25, mask_weight=0.25,
+                             diversity_weight=0.25) -> list[np.ndarray]:
+    """Standalone entry: poses straight from a COLMAP file (views.py:478-510)."""
+    from ..core.quat import quat_to_rotmat
+    import jax.numpy as jnp
+
+    t_w2c, q_w2c, names = parse_colmap_poses(colmap_path)
+    r_w2c = np.asarray(quat_to_rotmat(jnp.asarray(q_w2c, jnp.float32)))
+    _, imgs = select_views(
+        rgba_dir, names, img_num, t_w2c, r_w2c,
+        quality_weight=quality_weight, mask_weight=mask_weight,
+        diversity_weight=diversity_weight,
+    )
+    return imgs
+
+
+def merge_to_rgba_dirs(img_dir: str, mask_dir: str, output_dir: str):
+    """Merge RGB frames with binary masks into RGBA files (views.py:513-538)."""
+    import cv2
+
+    masks = sorted(f for f in os.listdir(mask_dir)
+                   if os.path.splitext(f)[1] in IMG_EXTENSIONS)
+    rgbs = sorted(f for f in os.listdir(img_dir)
+                  if os.path.splitext(f)[1] in IMG_EXTENSIONS)
+    os.makedirs(output_dir, exist_ok=True)
+    for mask_name, rgb_name in zip(masks, rgbs):
+        mask = cv2.imread(os.path.join(mask_dir, mask_name), cv2.IMREAD_UNCHANGED)
+        rgb = cv2.imread(os.path.join(img_dir, rgb_name))
+        alpha = np.where(mask > 0, 255, 0).astype(np.uint8)
+        cv2.imwrite(os.path.join(output_dir, rgb_name), cv2.merge([rgb, alpha]))
+
+
+def main(argv=None):
+    """Standalone view-selection CLI (views.py:540-573)."""
+    import argparse
+    import cv2
+
+    parser = argparse.ArgumentParser(description="select viewpoints")
+    parser.add_argument("--rgba_dir", type=str, required=True)
+    parser.add_argument("--output_dir", type=str, default="")
+    parser.add_argument("--colmap_path", type=str, default="")
+    parser.add_argument("--img_num", type=int, default=4)
+    args = parser.parse_args(argv)
+    os.makedirs(args.output_dir, exist_ok=True)
+    if not os.path.exists(args.rgba_dir):
+        raise ValueError(f"RGBA directory {args.rgba_dir} does not exist")
+    selected = select_views_from_colmap(args.rgba_dir, args.colmap_path, args.img_num)
+    crops = post_process_rgba_imgs(selected)
+    for i, crop in enumerate(crops):
+        cv2.imwrite(os.path.join(args.output_dir, f"img_{i}.png"),
+                    cv2.cvtColor(np.array(crop), cv2.COLOR_RGBA2BGRA))
+    print(f"Saved {len(crops)} images to {args.output_dir}")
+
+
+if __name__ == "__main__":
+    main()

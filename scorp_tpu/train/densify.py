@@ -186,3 +186,41 @@ def accumulate_stats(state: GaussianState, screen_grad_ndc: jnp.ndarray, radii: 
         xyz_grad_accum=jnp.where(visible, state.xyz_grad_accum + gnorm, state.xyz_grad_accum),
         denom=jnp.where(visible, state.denom + 1.0, state.denom),
     )
+
+
+class OpacityTracker:
+    """Host-side port of the reference's `reset_tracking_opacity`
+    (/root/reference/gs3dgs/scene/gaussian_model.py:258-283): keeps a bank of
+    the last 3 opacity snapshots; rows whose tracked minimum stays above 0.7
+    are latched "always high" and reset to 0.99 instead of 0.01."""
+
+    def __init__(self, capacity: int, max_bank_size: int = 3):
+        self.max_bank_size = max_bank_size
+        self.bank = None
+        self.always_high = jnp.zeros(capacity, bool)
+
+    def reset(self, state: GaussianState, adam: AdamState):
+        op = _sigmoid(state.params["opacity"])  # [C, 1]
+        if self.bank is None:
+            self.bank = op
+        else:
+            self.bank = jnp.concatenate([self.bank, op], axis=1)
+
+        params = dict(state.params)
+        if self.bank.shape[1] == self.max_bank_size:
+            track_min = self.bank.min(axis=1)
+            self.bank = op
+            self.always_high = self.always_high | (track_min > 0.7)
+            ratio = float(self.always_high.sum()) / self.always_high.shape[0]
+            print(f"always high ratio: {ratio}")
+            new_op = jnp.where(self.always_high[:, None], 0.99, op)
+        else:
+            new_op = jnp.where(self.always_high[:, None], op, 0.01)
+        params["opacity"] = jnp.where(
+            state.alive[:, None], _inverse_sigmoid(new_op), params["opacity"]
+        )
+        m = dict(adam.m)
+        v = dict(adam.v)
+        m["opacity"] = jnp.zeros_like(m["opacity"])
+        v["opacity"] = jnp.zeros_like(v["opacity"])
+        return state._replace(params=params), AdamState(m, v, adam.step)

@@ -221,3 +221,29 @@ def adam_update(
         new_m[k] = m
         new_v[k] = v
     return new_params, AdamState(new_m, new_v, step)
+
+
+def get_normal(params: dict) -> jnp.ndarray:
+    """Per-gaussian normal = rotation column of the smallest scale axis
+    (/root/reference/gs3dgs/scene/gaussian_model.py:149-155)."""
+    from ..core.quat import quat_to_rotmat
+
+    R = quat_to_rotmat(params["rotation"])
+    s = jnp.exp(params["scaling"])
+    if s.shape[1] == 2:  # surfel: normal is the third frame axis
+        n = R[:, :, 2]
+    else:
+        axis = jnp.argmin(s, axis=-1)
+        n = jnp.take_along_axis(R, axis[:, None, None], axis=2)[:, :, 0]
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+
+
+def get_color(params: dict) -> jnp.ndarray:
+    """DC-band RGB (SH2RGB of f_dc, gaussian_model.py:157-158)."""
+    return rgb_to_sh_inv(params["f_dc"][:, 0, :])
+
+
+def rgb_to_sh_inv(sh):
+    from ..core.sh import sh_to_rgb
+
+    return sh_to_rgb(sh)

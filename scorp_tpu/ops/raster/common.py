@@ -95,14 +95,33 @@ def grid_dims(width: int, height: int) -> tuple[int, int]:
 
 
 def compute_cov3d(scales: jnp.ndarray, quats: jnp.ndarray, modifier) -> jnp.ndarray:
-    """[N,3] scales (activated) + [N,4] quats -> [N,6] upper-tri covariance."""
-    R = quat_to_rotmat(quats)
-    L = R * (scales * modifier)[:, None, :]
-    cov = jnp.einsum("nij,nkj->nik", L, L)
-    return jnp.stack(
-        [cov[:, 0, 0], cov[:, 0, 1], cov[:, 0, 2], cov[:, 1, 1], cov[:, 1, 2], cov[:, 2, 2]],
-        axis=-1,
-    )
+    """[N,3] scales (activated) + [N,4] quats -> [N,6] upper-tri covariance.
+
+    Fully scalarized (Σ_ik = Σ_j R_ij R_kj s_j²): batched 3x3 einsums pad to
+    the 128-wide MXU and run ~10x slower than one fused VPU pass.
+    """
+    q = quats
+    norm = jnp.sqrt(jnp.sum(q * q, axis=-1))
+    qn = q / jnp.maximum(norm, 1e-12)[:, None]
+    w, x, y, z = qn[:, 0], qn[:, 1], qn[:, 2], qn[:, 3]
+    r00 = 1.0 - 2.0 * (y * y + z * z)
+    r01 = 2.0 * (x * y - w * z)
+    r02 = 2.0 * (x * z + w * y)
+    r10 = 2.0 * (x * y + w * z)
+    r11 = 1.0 - 2.0 * (x * x + z * z)
+    r12 = 2.0 * (y * z - w * x)
+    r20 = 2.0 * (x * z - w * y)
+    r21 = 2.0 * (y * z + w * x)
+    r22 = 1.0 - 2.0 * (x * x + y * y)
+    s = scales * modifier
+    s0, s1, s2 = s[:, 0] ** 2, s[:, 1] ** 2, s[:, 2] ** 2
+    c00 = r00 * r00 * s0 + r01 * r01 * s1 + r02 * r02 * s2
+    c01 = r00 * r10 * s0 + r01 * r11 * s1 + r02 * r12 * s2
+    c02 = r00 * r20 * s0 + r01 * r21 * s1 + r02 * r22 * s2
+    c11 = r10 * r10 * s0 + r11 * r11 * s1 + r12 * r12 * s2
+    c12 = r10 * r20 * s0 + r11 * r21 * s1 + r12 * r22 * s2
+    c22 = r20 * r20 * s0 + r21 * r21 * s1 + r22 * r22 * s2
+    return jnp.stack([c00, c01, c02, c11, c12, c22], axis=-1)
 
 
 def preprocess(

@@ -1,0 +1,315 @@
+"""Pallas TPU forward compositor for 2DGS surfels (inference/eval path).
+
+Mirrors pallas_fwd.py's per-tile streaming design with the surfel math of
+surfel.py: the ray-splat homography UV solve runs scalarized on [P, C]
+blocks, transmittance via Hillis-Steele cumulative products, and the full
+7-channel allmap accumulated per chunk:
+
+  * expected depth: Σ w·z with z the per-(pixel,key) intersection depth;
+  * view-space normals: one [3,C]x[P,C] MXU contraction;
+  * median depth: the reference's "last contributor whose entry
+    transmittance exceeds 0.5" — the in-chunk candidate is selected with a
+    kpos-argmax + one-hot sum (kpos is unique per lane);
+  * distortion Σ w(m²A + D2 − 2mD): three Hillis-Steele prefix sums carry
+    the (A, D, D2) accumulators across chunks.
+
+Training keeps the autodiff XLA path (surfel.py); this kernel serves
+render_2dgs-style evaluation. Stream rows (24, sublane-aligned):
+0-8 M row-major, 9-11 zrow, 12-13 center xy, 14-16 color, 17 opacity,
+18-20 view normal, 21-23 pad.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import TILE, RasterConfig, _expand_keys_core, _tile_bounds, grid_dims
+from .pallas_fwd import _masked_cumprod_lanes, tiles_cp_to_image
+from .surfel import (
+    ALPHA_MAX,
+    ALPHA_MIN,
+    FAR_PLANE,
+    FILTER_INV_SQUARE,
+    NEAR_PLANE,
+    T_EPS,
+    SurfelOutput,
+    SurfelPrep,
+    _surfel_prep_to_common,
+    preprocess_surfel,
+)
+
+SURFEL_ROWS = 24
+
+
+def _masked_cumsum_lanes(x: jnp.ndarray, chunk: int) -> jnp.ndarray:
+    """Inclusive cumulative sum along lanes (Hillis-Steele, zero fill)."""
+    p, c = x.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (p, c), 1)
+    steps = int(math.log2(chunk))
+    for s in [1 << i for i in range(steps)]:
+        rolled = pltpu.roll(x, s, 1)
+        x = x + jnp.where(col >= s, rolled, 0.0)
+    return x
+
+
+def surfel_stream(prep: SurfelPrep, width: int, height: int, cfg: RasterConfig):
+    """Depth-ordered per-tile surfel stream [24, K] + tile ranges."""
+    tiles_x, tiles_y = grid_dims(width, height)
+    num_tiles = tiles_x * tiles_y
+    k_cap = cfg.max_keys
+
+    common = _surfel_prep_to_common(prep)
+    tile, g_of_k, order, total = _expand_keys_core(common, width, height, k_cap)
+
+    n = prep.xy.shape[0]
+    m_rows = prep.M.reshape(n, 9)  # row-major (m1, m2, m3)
+    table = jnp.concatenate(
+        [m_rows, prep.zrow, prep.xy, prep.color, prep.opacity[:, None], prep.normal],
+        axis=1,
+    )[order]  # [N, 21]
+
+    sorted_tile, g_sorted = jax.lax.sort(
+        (tile, jnp.maximum(g_of_k, 0)), num_keys=1, is_stable=True
+    )
+    key_rows = table[g_sorted]  # [K, 21]
+    data = jnp.concatenate(
+        [key_rows.T, jnp.zeros((SURFEL_ROWS - key_rows.shape[1], k_cap), jnp.float32)],
+        axis=0,
+    )
+    tile_start, tile_count = _tile_bounds(sorted_tile, num_tiles)
+    dropped = jnp.maximum(total - k_cap, 0).astype(jnp.int32)
+    return data, tile_start, tile_count, dropped
+
+
+def _surfel_fwd_kernel(
+    tile_start_ref, tile_count_ref, bg_ref,
+    data_ref,
+    out_color_ref,    # [1, 3, P]
+    out_alpha_ref,    # [1, 1, P]
+    out_depth_ref,    # [1, 1, P]
+    out_normal_ref,   # [1, 3, P]
+    out_median_ref,   # [1, 1, P]
+    out_dist_ref,     # [1, 1, P]
+    chunk_vmem, sem,
+    *, tiles_x: int, chunk: int,
+):
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    count = tile_count_ref[t]
+    base = (start // 128) * 128
+    head = start - base
+    n_chunks = (head + count + chunk - 1) // chunk
+
+    p = TILE * TILE
+    tx = (t % tiles_x).astype(jnp.float32)
+    ty = (t // tiles_x).astype(jnp.float32)
+    pix_row = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    pix_x = (tx * TILE) + (pix_row % TILE).astype(jnp.float32)
+    pix_y = (ty * TILE) + (pix_row // TILE).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    lane_f = lane.astype(jnp.float32)
+
+    def _copy(ci, slot):
+        offset = pl.multiple_of(base + ci * chunk, 128)
+        return pltpu.make_async_copy(
+            data_ref.at[:, pl.ds(offset, chunk)], chunk_vmem.at[slot], sem.at[slot]
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        _copy(jnp.int32(0), 0).start()
+
+    def body(carry):
+        (ci, t_carry, acc_c, acc_d, acc_n, med, acc_dist, a_run, d_run, d2_run) = carry
+        slot = ci % 2
+        _copy(ci, slot).wait()
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            _copy(ci + 1, 1 - slot).start()
+
+        cur = chunk_vmem.at[slot]
+        m1x, m1y, m1z = cur[0:1, :], cur[1:2, :], cur[2:3, :]
+        m2x, m2y, m2z = cur[3:4, :], cur[4:5, :], cur[5:6, :]
+        m3x, m3y, m3z = cur[6:7, :], cur[7:8, :], cur[8:9, :]
+        zu, zv, zc = cur[9:10, :], cur[10:11, :], cur[11:12, :]
+        cx, cy = cur[12:13, :], cur[13:14, :]
+        opa = cur[17:18, :]
+
+        hux = m1x - pix_x * m3x      # [p, C]
+        huy = m1y - pix_x * m3y
+        huz = m1z - pix_x * m3z
+        hvx = m2x - pix_y * m3x
+        hvy = m2y - pix_y * m3y
+        hvz = m2z - pix_y * m3z
+        sx = huy * hvz - huz * hvy
+        sy = huz * hvx - hux * hvz
+        s_z = hux * hvy - huy * hvx
+        sz = jnp.where(jnp.abs(s_z) > 1e-9, s_z, 1e-9)
+        u = jnp.clip(sx / sz, -1e3, 1e3)
+        v = jnp.clip(sy / sz, -1e3, 1e3)
+
+        rho3d = u * u + v * v
+        dx = cx - pix_x
+        dy = cy - pix_y
+        rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
+        use3d = rho3d <= rho2d
+        rho = jnp.minimum(rho3d, rho2d)
+        alpha = jnp.minimum(ALPHA_MAX, opa * jnp.exp(-0.5 * rho))
+        z = jnp.where(use3d, u * zu + v * zv + zc, zc)
+        kpos = ci * chunk + lane
+        valid = (kpos >= head) & (kpos < head + count)
+        alpha = jnp.where(valid & (alpha >= ALPHA_MIN) & (z >= NEAR_PLANE), alpha, 0.0)
+
+        cum_incl = _masked_cumprod_lanes(1.0 - alpha, chunk)
+        t_after = t_carry * cum_incl
+        include = t_after >= T_EPS
+        cum_before = cum_incl / (1.0 - alpha)
+        t_before = t_carry * cum_before
+        w = jnp.where(include, alpha * t_before, 0.0)
+
+        colors = cur[14:17, :]
+        acc_c = acc_c + jax.lax.dot_general(
+            colors, w, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        )
+        normals = cur[18:21, :]
+        acc_n = acc_n + jax.lax.dot_general(
+            normals, w, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        )
+        acc_d = acc_d + jnp.sum(w * z, axis=1, keepdims=True)
+
+        # median: z of the last included key with entry transmittance > 0.5
+        cond = include & (t_before > 0.5) & (alpha > 0.0)
+        r = jnp.where(cond, lane_f, -1.0)
+        kbest = jnp.max(r, axis=1, keepdims=True)
+        zsel = jnp.sum(jnp.where((r == kbest) & cond, z, 0.0), axis=1, keepdims=True)
+        med = jnp.where(kbest >= 0.0, zsel, med)
+
+        # distortion with cross-chunk (A, D, D2) carries
+        m = (FAR_PLANE / (FAR_PLANE - NEAR_PLANE)) * (1.0 - NEAR_PLANE / jnp.maximum(z, 1e-6))
+        wm = w * m
+        wm2 = wm * m
+        a_pre = a_run + _masked_cumsum_lanes(w, chunk) - w
+        d_pre = d_run + _masked_cumsum_lanes(wm, chunk) - wm
+        d2_pre = d2_run + _masked_cumsum_lanes(wm2, chunk) - wm2
+        acc_dist = acc_dist + jnp.sum(
+            w * (m * m * a_pre + d2_pre - 2.0 * m * d_pre), axis=1, keepdims=True
+        )
+        a_run = a_run + jnp.sum(w, axis=1, keepdims=True)
+        d_run = d_run + jnp.sum(wm, axis=1, keepdims=True)
+        d2_run = d2_run + jnp.sum(wm2, axis=1, keepdims=True)
+
+        t_carry = jnp.min(jnp.where(include, t_after, t_carry), axis=1, keepdims=True)
+        return (ci + 1, t_carry, acc_c, acc_d, acc_n, med, acc_dist, a_run, d_run, d2_run)
+
+    def cond_fn(carry):
+        ci, t_carry = carry[0], carry[1]
+        return (ci < n_chunks) & (jnp.max(t_carry) >= T_EPS)
+
+    zeros1 = jnp.zeros((p, 1), jnp.float32)
+    init = (
+        jnp.int32(0), jnp.ones((p, 1), jnp.float32),
+        jnp.zeros((3, p), jnp.float32), zeros1,
+        jnp.zeros((3, p), jnp.float32), zeros1, zeros1, zeros1, zeros1, zeros1,
+    )
+    (ci_final, t_final, acc_c, acc_d, acc_n, med, acc_dist, *_) = jax.lax.while_loop(
+        cond_fn, body, init
+    )
+
+    @pl.when(ci_final < n_chunks)
+    def _():
+        _copy(ci_final, ci_final % 2).wait()
+
+    t_row = t_final.reshape(1, p)
+    bg = bg_ref
+    out_color_ref[0, 0, :] = acc_c[0, :] + t_row[0, :] * bg[0]
+    out_color_ref[0, 1, :] = acc_c[1, :] + t_row[0, :] * bg[1]
+    out_color_ref[0, 2, :] = acc_c[2, :] + t_row[0, :] * bg[2]
+    out_alpha_ref[0, 0, :] = 1.0 - t_row[0, :]
+    out_depth_ref[0, 0, :] = acc_d.reshape(1, p)[0, :]
+    out_normal_ref[0] = acc_n
+    out_median_ref[0, 0, :] = med.reshape(1, p)[0, :]
+    out_dist_ref[0, 0, :] = acc_dist.reshape(1, p)[0, :]
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "cfg", "interpret"))
+def _surfel_kernel_call(data, tile_start, tile_count, bg, *, width, height, cfg,
+                        interpret=False):
+    tiles_x, tiles_y = grid_dims(width, height)
+    num_tiles = tiles_x * tiles_y
+    p = TILE * TILE
+    chunk = cfg.pallas_chunk
+    bg4 = jnp.concatenate([bg.astype(jnp.float32), jnp.zeros(1, jnp.float32)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, SURFEL_ROWS, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_surfel_fwd_kernel, tiles_x=tiles_x, chunk=chunk)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((num_tiles, 3, p), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 3, p), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tile_start, tile_count, bg4, data)
+
+
+def rasterize_surfel_pallas_fwd_only(
+    means3d, opacities, cam, bg, *,
+    shs=None, sh_degree: int = 0, colors_precomp=None,
+    scales=None, quats=None, scale_modifier: float = 1.0,
+    screen_deltas=None, alive=None, cfg: RasterConfig = RasterConfig(),
+    interpret: bool = False,
+) -> SurfelOutput:
+    """Non-differentiable surfel forward (render_2dgs eval path)."""
+    w, h = cam.width, cam.height
+    prep = preprocess_surfel(
+        means3d, opacities, cam, shs=shs, sh_degree=sh_degree,
+        colors_precomp=colors_precomp, scales=scales, quats=quats,
+        scale_modifier=scale_modifier, screen_deltas=screen_deltas, alive=alive,
+    )
+    data, tile_start, tile_count, dropped = surfel_stream(prep, w, h, cfg)
+    data = jnp.concatenate(
+        [data, jnp.zeros((SURFEL_ROWS, cfg.pallas_chunk), jnp.float32)], axis=1
+    )
+    color_t, alpha_t, depth_t, normal_t, median_t, dist_t = _surfel_kernel_call(
+        data, tile_start, tile_count, bg, width=w, height=h, cfg=cfg,
+        interpret=interpret,
+    )
+    return SurfelOutput(
+        tiles_cp_to_image(color_t, w, h),
+        tiles_cp_to_image(alpha_t, w, h),
+        tiles_cp_to_image(depth_t, w, h),
+        tiles_cp_to_image(normal_t, w, h),
+        tiles_cp_to_image(median_t, w, h),
+        tiles_cp_to_image(dist_t, w, h),
+        prep.radii, dropped, jnp.int32(0),
+    )

@@ -199,20 +199,28 @@ def _chunk_contrib(prep: SurfelPrep, ids, pix_x, pix_y):
 
     x = pix_x[:, None, :]         # [T,1,P]
     y = pix_y[:, None, :]
-    m1 = M[..., 0, :]             # rows of M: [T,C,3]
-    m2 = M[..., 1, :]
-    m3 = M[..., 2, :]
-    # plane constraints per pixel: hu = m1 - x*m3, hv = m2 - y*m3  [T,C,P,3]
-    hu = m1[..., None, :] - x[..., None] * m3[..., None, :]
-    hv = m2[..., None, :] - y[..., None] * m3[..., None, :]
-    s = jnp.cross(hu, hv)         # [T,C,P,3]
-    sz = jnp.where(jnp.abs(s[..., 2]) > 1e-9, s[..., 2], 1e-9)
+    # plane constraints per pixel: hu = m1 - x*m3, hv = m2 - y*m3 with
+    # s = hu x hv, scalarized per component (a trailing length-3 axis would
+    # pad the vector units 40x)
+    m1x, m1y, m1z = (M[..., 0, i][..., None] for i in range(3))  # [T,C,1]
+    m2x, m2y, m2z = (M[..., 1, i][..., None] for i in range(3))
+    m3x, m3y, m3z = (M[..., 2, i][..., None] for i in range(3))
+    hux = m1x - x * m3x
+    huy = m1y - x * m3y
+    huz = m1z - x * m3z
+    hvx = m2x - y * m3x
+    hvy = m2y - y * m3y
+    hvz = m2z - y * m3z
+    sx = huy * hvz - huz * hvy    # [T,C,P]
+    sy = huz * hvx - hux * hvz
+    s_z = hux * hvy - huy * hvx
+    sz = jnp.where(jnp.abs(s_z) > 1e-9, s_z, 1e-9)
     # clip the UV solution: near-degenerate (edge-on) splats produce huge
     # u,v whose exp(-rho/2) underflows to 0 but whose VJP is inf*0 = NaN;
     # the clip's zero boundary gradient kills that path exactly where the
     # contribution is already zero
-    u = jnp.clip(s[..., 0] / sz, -1e3, 1e3)   # [T,C,P]
-    v = jnp.clip(s[..., 1] / sz, -1e3, 1e3)
+    u = jnp.clip(sx / sz, -1e3, 1e3)   # [T,C,P]
+    v = jnp.clip(sy / sz, -1e3, 1e3)
 
     rho3d = u * u + v * v
     dx = xy[..., 0:1] - pix_x[:, None, :]

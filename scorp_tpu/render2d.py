@@ -18,6 +18,16 @@ from .core.camera import CameraJax
 from .core.plyio import GaussianData
 from .ops.raster import RasterConfig
 from .ops.raster.surfel import depth_to_normal_jax, rasterize_surfel_xla
+
+
+def _surfel_raster(*args, **kwargs):
+    """Platform dispatch: Pallas fwd kernel on TPU (no grads needed for
+    eval rendering), XLA path on CPU."""
+    if jax.default_backend() not in ("cpu",):
+        from .ops.raster.pallas_surfel import rasterize_surfel_pallas_fwd_only
+
+        return rasterize_surfel_pallas_fwd_only(*args, **kwargs)
+    return rasterize_surfel_xla(*args, **kwargs)
 from .render import default_raster_config
 from .train.state import GaussianState, from_gaussian_data
 
@@ -37,7 +47,7 @@ def _render2d_jit(params, alive, cam: CameraJax, bg, override_color, scale_modif
     else:
         kwargs["shs"] = jnp.concatenate([params["f_dc"], params["f_rest"]], axis=1)
         kwargs["sh_degree"] = sh_degree
-    out = rasterize_surfel_xla(
+    out = _surfel_raster(
         params["xyz"], jax.nn.sigmoid(params["opacity"][:, 0]), cam, bg, **kwargs
     )
     alpha = out.alpha

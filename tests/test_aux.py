@@ -132,7 +132,9 @@ class TestNetworkGUI:
             msg = json.dumps(payload).encode()
             s.sendall(len(msg).to_bytes(4, "little") + msg)
             img = b""
-            expected = 32 * 24 * 3
+            # read image + 4-byte verify length + "ok" so the server's send
+            # completes before we close (avoids a flaky BrokenPipe)
+            expected = 32 * 24 * 3 + 4 + 2
             try:
                 while len(img) < expected:
                     chunk = s.recv(65536)

@@ -165,8 +165,10 @@ def training(dataset, opt: Optimization2DParams, pipe, testing_iterations,
                     use_size_threshold=use_size,
                 )
                 n_alive = int(state.num_alive())
-                if int(dropped) > 0 or n_alive > 0.85 * state.capacity:
-                    new_cap = round_capacity(int(state.capacity * 1.5))
+                # grow BEFORE the buffer can saturate (a saturated densify
+                # drops clone/split candidates the reference would keep)
+                if int(dropped) > 0 or n_alive > 0.7 * state.capacity:
+                    new_cap = round_capacity(int(state.capacity * 2.0))
                     state, adam = grow_capacity(state, adam, new_cap)
             if iteration % opt.opacity_reset_interval == 0 or (
                 dataset.white_background and iteration == opt.densify_from_iter

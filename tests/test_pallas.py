@@ -88,3 +88,30 @@ class TestPallasVJP:
         g_x = jax.grad(f_bg(rasterize_xla, False))(BG)
         g_p = jax.grad(f_bg(rasterize_pallas, True))(BG)
         np.testing.assert_allclose(g_p, g_x, atol=1e-6)
+
+
+class TestPallasSurfel:
+    def test_surfel_kernel_matches_xla(self):
+        from scorp_tpu.ops.raster.pallas_surfel import rasterize_surfel_pallas_fwd_only
+        from scorp_tpu.ops.raster.surfel import rasterize_surfel_xla
+
+        rng = np.random.default_rng(5)
+        n = 60
+        xyz = jnp.asarray(rng.uniform(-0.9, 0.9, (n, 3)).astype(np.float32))
+        scales = jnp.asarray(np.exp(rng.normal(np.log(0.25), 0.3, (n, 2))).astype(np.float32))
+        quats = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+        opa = jnp.asarray(rng.uniform(0.2, 0.95, n).astype(np.float32))
+        colors = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+        bg = jnp.array([0.1, 0.2, 0.3])
+        a = rasterize_surfel_xla(
+            xyz, opa, CAM, bg, colors_precomp=colors, scales=scales, quats=quats, cfg=CFG
+        )
+        b = rasterize_surfel_pallas_fwd_only(
+            xyz, opa, CAM, bg, colors_precomp=colors, scales=scales, quats=quats,
+            cfg=CFG, interpret=True,
+        )
+        for name in ["color", "alpha", "depth_accum", "normal", "depth_median", "distortion"]:
+            np.testing.assert_allclose(
+                getattr(b, name), getattr(a, name), atol=3e-6, err_msg=name
+            )
+        np.testing.assert_array_equal(a.radii, b.radii)

@@ -255,3 +255,73 @@ class GaussianExtractor:
             voxel_size, sdf_trunc, depth_trunc, max_resolution,
         )
         return surface_nets(tsdf, weight, origin, vs, colors)
+
+    def extract_mesh_unbounded(self, center, scale_radius, resolution=256,
+                               depth_trunc=1e9):
+        return tsdf_fuse_unbounded(
+            self.render_fn, self.cameras, center, scale_radius,
+            resolution=resolution, depth_trunc=depth_trunc,
+        )
+
+
+def contract(x: np.ndarray) -> np.ndarray:
+    """mip-NeRF-360 space contraction: identity inside the unit ball,
+    (2 - 1/|x|)·x/|x| outside (the reference's unbounded TSDF variant,
+    gs2dgs/utils/mesh_utils.py extract_mesh_unbounded)."""
+    norm = np.linalg.norm(x, axis=-1, keepdims=True)
+    safe = np.maximum(norm, 1e-9)
+    return np.where(norm <= 1.0, x, (2.0 - 1.0 / safe) * x / safe)
+
+
+def uncontract(y: np.ndarray) -> np.ndarray:
+    """Inverse contraction (valid for |y| < 2)."""
+    norm = np.linalg.norm(y, axis=-1, keepdims=True)
+    safe = np.clip(norm, 1e-9, 2.0 - 1e-6)
+    return np.where(norm <= 1.0, y, y / (safe * (2.0 - safe)))
+
+
+def tsdf_fuse_unbounded(render_fn, cameras, center, scale_radius: float,
+                        resolution: int = 256, sdf_trunc_vox: float = 4.0,
+                        depth_trunc: float = 1e9):
+    """TSDF fusion on a grid defined in CONTRACTED coordinates (covers the
+    whole unbounded scene in a [-2, 2]^3 cube): voxel centers uncontract to
+    world space before projecting into the depth maps."""
+    import jax.numpy as jnp
+
+    idx = np.arange(resolution)
+    gx, gy, gz = np.meshgrid(idx, idx, idx, indexing="ij")
+    step = 4.0 / resolution
+    contracted = (np.stack([gx, gy, gz], -1).reshape(-1, 3) + 0.5) * step - 2.0
+    # clamp the outer shell inside the invertible region
+    cnorm = np.linalg.norm(contracted, axis=-1, keepdims=True)
+    contracted = np.where(cnorm >= 1.98, contracted * (1.98 / np.maximum(cnorm, 1e-9)),
+                          contracted)
+    world = uncontract(contracted) * scale_radius + np.asarray(center)
+    voxels = jnp.asarray(world, jnp.float32)
+
+    m = voxels.shape[0]
+    tsdf = jnp.ones(m, jnp.float32)
+    weight = jnp.zeros(m, jnp.float32)
+    colors = jnp.zeros((m, 3), jnp.float32)
+    sdf_trunc = sdf_trunc_vox * step * scale_radius
+
+    for cam in cameras:
+        pkg = render_fn(cam)
+        cj = cam.to_jax()
+        w, h = cj.width, cj.height
+        fx = w / (2.0 * float(cj.tanfovx))
+        fy = h / (2.0 * float(cj.tanfovy))
+        tsdf, weight, colors = _tsdf_update(
+            tsdf, weight, colors, voxels,
+            jnp.asarray(pkg["render_depth"])[0], jnp.asarray(pkg["render"]),
+            cj.viewmatrix, fx, fy, w * 0.5 - 0.5, h * 0.5 - 0.5,
+            jnp.float32(sdf_trunc), jnp.float32(depth_trunc), width=w, height=h,
+        )
+    shape = (resolution, resolution, resolution)
+    # surface-nets vertices come out in contracted coords; uncontract after
+    verts, faces, vcols = surface_nets(
+        np.asarray(tsdf).reshape(shape), np.asarray(weight).reshape(shape),
+        np.full(3, -2.0), step, np.asarray(colors).reshape(shape + (3,)),
+    )
+    verts = uncontract(verts) * scale_radius + np.asarray(center)
+    return verts, faces, vcols

@@ -22,6 +22,7 @@ from ..ops.raster import RasterConfig
 from ..render2d import render2d
 from ..scene import Scene
 from ..train import (
+    count_densify_candidates,
     densify_and_prune,
     from_gaussian_data,
     from_point_cloud,
@@ -156,6 +157,15 @@ def training(dataset, opt: Optimization2DParams, pipe, testing_iterations,
         if iteration < opt.densify_until_iter:
             if iteration > opt.densify_from_iter and iteration % opt.densification_interval == 0:
                 use_size = iteration > opt.opacity_reset_interval
+                # pre-grow so the densify scatter never runs out of slots
+                expected_new = int(count_densify_candidates(state, opt.densify_grad_threshold))
+                if int(state.num_alive()) + expected_new > 0.95 * state.capacity:
+                    new_cap = round_capacity(
+                        max(int(state.capacity * 2.0),
+                            int((int(state.num_alive()) + expected_new) * 1.2))
+                    )
+                    print(f"\n[ITER {iteration}] capacity {state.capacity} -> {new_cap}")
+                    state, adam = grow_capacity(state, adam, new_cap)
                 rng_key, sub = jax.random.split(rng_key)
                 state, adam, dropped = densify_and_prune(
                     state, adam, sub,

@@ -10,5 +10,5 @@ from .state import (  # noqa: F401
     round_capacity,
     to_gaussian_data,
 )
-from .densify import accumulate_stats, densify_and_prune, reset_opacity  # noqa: F401
+from .densify import accumulate_stats, count_densify_candidates, densify_and_prune, reset_opacity  # noqa: F401
 from .step import OptParams, StepMetrics, train_step  # noqa: F401

@@ -224,3 +224,13 @@ class OpacityTracker:
         m["opacity"] = jnp.zeros_like(m["opacity"])
         v["opacity"] = jnp.zeros_like(v["opacity"])
         return state._replace(params=params), AdamState(m, v, adam.step)
+
+
+@jax.jit
+def count_densify_candidates(state: GaussianState, max_grad) -> jnp.ndarray:
+    """Upper bound on rows the next densify will add (clones + 2 children):
+    used to pre-grow capacity so no candidate is ever dropped."""
+    grads = state.xyz_grad_accum / jnp.maximum(state.denom, 1.0)
+    grads = jnp.where(state.denom > 0, grads, 0.0)
+    hot = state.alive & (grads >= max_grad)
+    return 2 * jnp.sum(hot.astype(jnp.int32))

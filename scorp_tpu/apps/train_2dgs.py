@@ -125,7 +125,8 @@ def training(dataset, opt: Optimization2DParams, pipe, testing_iterations,
     sampler = CameraSampler(scene.get_train_cameras())
     rng = np.random.default_rng(0)
     rng_key = jax.random.PRNGKey(0)
-    active_sh = 0
+    # resume at the SH degree the schedule had reached (see train_3dgs)
+    active_sh = min(first_iter // 1000, dataset.sh_degree)
     meter = ProgressMeter(opt.iterations, disable=quiet)
 
     t_start = time.time()

@@ -233,7 +233,9 @@ def training(
     sampler = CameraSampler(scene.get_train_cameras())
     rng = np.random.default_rng(0)
     rng_key = jax.random.PRNGKey(0)
-    active_sh = 0
+    # a restored run resumes at the SH degree the schedule had reached
+    # (reference capture()/restore() round-trips active_sh_degree)
+    active_sh = min(first_iter // 1000, dataset.sh_degree)
     meter = ProgressMeter(opt.iterations, disable=quiet)
     depth_seen = scene.get_train_cameras()[0].depth_cam_path is not None
     est_seen = scene.get_train_cameras()[0].depth_est_path is not None

@@ -119,6 +119,10 @@ class Optimization2DParams(OptimizationParams):
     patch_size: int = 128
     patch_num: int = 4
     lambda_patch_depth: float = 0.0
+    # gs2dgs OptimizationParams overrides the 3DGS values for these
+    lambda_isotropic: float = 0.0001
+    dn_l1_weight_init: float = 0.2
+    dn_l1_weight_final: float = 0.05
 
 
 def save_cfg_args(model_path: str, args: Namespace):

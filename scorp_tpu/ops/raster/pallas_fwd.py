@@ -50,6 +50,14 @@ def _masked_cumprod_lanes(x: jnp.ndarray, chunk: int) -> jnp.ndarray:
     return x
 
 
+def _cumprod_excl_lanes(x: jnp.ndarray, chunk: int) -> jnp.ndarray:
+    """Exclusive cumulative product along lanes (identity in lane 0)."""
+    p, c = x.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (p, c), 1)
+    shifted = jnp.where(col >= 1, pltpu.roll(x, 1, 1), 1.0)
+    return _masked_cumprod_lanes(shifted, chunk)
+
+
 def _fwd_kernel(
     # scalar prefetch
     tile_start_ref,  # [T] i32
@@ -99,7 +107,7 @@ def _fwd_kernel(
         _copy(jnp.int32(0), 0).start()
 
     def body(carry):
-        ci, t_carry, acc_c, acc_d, n_inc = carry
+        ci, t_carry, stopped, acc_c, acc_d, n_con = carry
         slot = ci % 2
         _copy(ci, slot).wait()
 
@@ -123,11 +131,16 @@ def _fwd_kernel(
         valid = (kpos >= head) & (kpos < head + count) & (power <= 0.0)
         alpha = jnp.where(valid & (alpha >= ALPHA_MIN), alpha, 0.0)
 
-        cum_incl = _masked_cumprod_lanes(1.0 - alpha, chunk)       # [p, C]
-        t_after = t_carry * cum_incl
-        include = t_after >= T_EPS     # monotone -> no cummax needed
-        cum_before = cum_incl / (1.0 - alpha)                      # exact: alpha < 1
-        weight = jnp.where(include, alpha * t_carry * cum_before, 0.0)
+        # exclusive/inclusive running (1-alpha) products along the chunk
+        cum_excl = _cumprod_excl_lanes(1.0 - alpha, chunk)         # [p, C]
+        t_before = t_carry * cum_excl
+        t_after = t_before * (1.0 - alpha)
+        # CUDA rule: the key that would drop T below 1e-4 is excluded and the
+        # pixel is done (sticky): within a chunk t_after is monotone, so the
+        # threshold test is a prefix; stickiness across chunks needs the flag.
+        # (carried as f32 0/1 — Mosaic can't legalize i1 while-loop carries)
+        include = jnp.logical_and(stopped < 0.5, t_after >= T_EPS)
+        weight = jnp.where(include, alpha * t_before, 0.0)
 
         colors = cur[5:8, :]                                       # [3, C]
         acc_c = acc_c + jax.lax.dot_general(
@@ -143,25 +156,37 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )                                                           # [1, p]
-        n_inc = n_inc + jnp.sum(include.astype(jnp.int32), axis=1, keepdims=True)
-        # the included set is a per-pixel prefix (T is monotone decreasing),
-        # so the post-chunk transmittance is the smallest included t_after
-        # (reduce_min; Mosaic has no reduce_prod)
+        # n_contrib = 1-based stream position (from the segment start) of the
+        # last included key with alpha > 0 — the reference last_contributor,
+        # consumed by the backward as a prefix length.
+        contrib = jnp.logical_and(include, alpha > 0.0)
+        pos1 = (kpos - head) + 1                                    # [1, C]
+        n_con = jnp.maximum(
+            n_con,
+            jnp.max(jnp.where(contrib, pos1, 0), axis=1, keepdims=True),
+        )
+        # included set is a per-pixel prefix -> post-chunk T is the smallest
+        # included t_after (reduce_min; Mosaic has no reduce_prod)
         t_carry = jnp.min(
             jnp.where(include, t_after, t_carry), axis=1, keepdims=True
         )
-        return ci + 1, t_carry, acc_c, acc_d, n_inc
+        stopped = jnp.maximum(
+            stopped,
+            (t_after[:, chunk - 1 : chunk] < T_EPS).astype(jnp.float32),
+        )
+        return ci + 1, t_carry, stopped, acc_c, acc_d, n_con
 
     def cond(carry):
-        ci, t_carry, _, _, _ = carry
-        return (ci < n_chunks) & (jnp.max(t_carry) >= T_EPS)
+        ci, _, stopped, _, _, _ = carry
+        return (ci < n_chunks) & (jnp.min(stopped) < 0.5)
 
     t0 = jnp.ones((p, 1), jnp.float32)
+    stop0 = jnp.zeros((p, 1), jnp.float32)
     acc_c0 = jnp.zeros((3, p), jnp.float32)
     acc_d0 = jnp.zeros((1, p), jnp.float32)
     n0 = jnp.zeros((p, 1), jnp.int32)
-    ci_final, t_final, acc_c, acc_d, n_inc = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), t0, acc_c0, acc_d0, n0)
+    ci_final, t_final, _, acc_c, acc_d, n_inc = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t0, stop0, acc_c0, acc_d0, n0)
     )
     # drain the in-flight prefetch if the loop exited early
     @pl.when(ci_final < n_chunks)
@@ -211,7 +236,7 @@ def _composite_kernel_call(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),

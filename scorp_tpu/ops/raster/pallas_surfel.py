@@ -126,7 +126,8 @@ def _surfel_fwd_kernel(
         _copy(jnp.int32(0), 0).start()
 
     def body(carry):
-        (ci, t_carry, acc_c, acc_d, acc_n, med, acc_dist, a_run, d_run, d2_run) = carry
+        (ci, t_carry, stopped, acc_c, acc_d, acc_n, med, acc_dist,
+         a_run, d_run, d2_run) = carry
         slot = ci % 2
         _copy(ci, slot).wait()
 
@@ -169,7 +170,9 @@ def _surfel_fwd_kernel(
 
         cum_incl = _masked_cumprod_lanes(1.0 - alpha, chunk)
         t_after = t_carry * cum_incl
-        include = t_after >= T_EPS
+        # reference sticky-done rule across chunks (see pallas_fwd.py);
+        # f32 0/1 carry — Mosaic can't legalize i1 while-loop carries
+        include = jnp.logical_and(stopped < 0.5, t_after >= T_EPS)
         cum_before = cum_incl / (1.0 - alpha)
         t_before = t_carry * cum_before
         w = jnp.where(include, alpha * t_before, 0.0)
@@ -208,19 +211,24 @@ def _surfel_fwd_kernel(
         d2_run = d2_run + jnp.sum(wm2, axis=1, keepdims=True)
 
         t_carry = jnp.min(jnp.where(include, t_after, t_carry), axis=1, keepdims=True)
-        return (ci + 1, t_carry, acc_c, acc_d, acc_n, med, acc_dist, a_run, d_run, d2_run)
+        stopped = jnp.maximum(
+            stopped, (t_after[:, chunk - 1 : chunk] < T_EPS).astype(jnp.float32)
+        )
+        return (ci + 1, t_carry, stopped, acc_c, acc_d, acc_n, med, acc_dist,
+                a_run, d_run, d2_run)
 
     def cond_fn(carry):
-        ci, t_carry = carry[0], carry[1]
-        return (ci < n_chunks) & (jnp.max(t_carry) >= T_EPS)
+        ci, stopped = carry[0], carry[2]
+        return (ci < n_chunks) & (jnp.min(stopped) < 0.5)
 
     zeros1 = jnp.zeros((p, 1), jnp.float32)
     init = (
         jnp.int32(0), jnp.ones((p, 1), jnp.float32),
+        jnp.zeros((p, 1), jnp.float32),
         jnp.zeros((3, p), jnp.float32), zeros1,
         jnp.zeros((3, p), jnp.float32), zeros1, zeros1, zeros1, zeros1, zeros1,
     )
-    (ci_final, t_final, acc_c, acc_d, acc_n, med, acc_dist, *_) = jax.lax.while_loop(
+    (ci_final, t_final, _, acc_c, acc_d, acc_n, med, acc_dist, *_) = jax.lax.while_loop(
         cond_fn, body, init
     )
 
@@ -252,7 +260,7 @@ def _surfel_kernel_call(data, tile_start, tile_count, bg, *, width, height, cfg,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),

@@ -252,12 +252,15 @@ def composite_surfel_tiles(prep: SurfelPrep, bins, pix_x, pix_y, cfg: RasterConf
     arange_c = jnp.arange(C, dtype=jnp.float32)
 
     def body(carry, ids):
-        (t_carry, acc_c, acc_d, acc_n, acc_med, acc_dist, acc_A, acc_D, acc_D2) = carry
+        (t_carry, stopped, acc_c, acc_d, acc_n, acc_med, acc_dist,
+         acc_A, acc_D, acc_D2) = carry
         alpha, z, m, color, normal = _chunk_contrib(prep, ids, pix_x, pix_y)
         # [T,C,P] blocks; cumprod along C
         cum_incl = jnp.cumprod(1.0 - alpha, axis=1)
         t_after = t_carry[:, None, :] * cum_incl
-        include = t_after >= T_EPS   # monotone prefix
+        # reference sticky-done rule: the key that would drop T below 1e-4 is
+        # excluded and the pixel stops for good (across chunks)
+        include = (t_after >= T_EPS) & ~stopped[:, None, :]
         cum_before = jnp.concatenate(
             [jnp.ones_like(cum_incl[:, :1, :]), cum_incl[:, :-1, :]], axis=1
         )
@@ -292,7 +295,9 @@ def composite_surfel_tiles(prep: SurfelPrep, bins, pix_x, pix_y, cfg: RasterConf
         acc_D2 = acc_D2 + jnp.sum(wm2, axis=1)
 
         t_carry = jnp.min(jnp.where(include, t_after, t_carry[:, None, :]), axis=1)
-        return (t_carry, acc_c, acc_d, acc_n, acc_med, acc_dist, acc_A, acc_D, acc_D2), None
+        stopped = stopped | jnp.any(t_after < T_EPS, axis=1)
+        return (t_carry, stopped, acc_c, acc_d, acc_n, acc_med, acc_dist,
+                acc_A, acc_D, acc_D2), None
 
     if remat:
         body = jax.checkpoint(body)
@@ -300,6 +305,7 @@ def composite_surfel_tiles(prep: SurfelPrep, bins, pix_x, pix_y, cfg: RasterConf
     z0 = jnp.zeros((num_tiles, p), jnp.float32)
     init = (
         jnp.ones((num_tiles, p), jnp.float32),
+        jnp.zeros((num_tiles, p), bool),
         jnp.zeros((num_tiles, p, 3), jnp.float32),
         z0, jnp.zeros((num_tiles, p, 3), jnp.float32),
         jnp.zeros((num_tiles, p), jnp.float32),
@@ -308,7 +314,7 @@ def composite_surfel_tiles(prep: SurfelPrep, bins, pix_x, pix_y, cfg: RasterConf
         jnp.zeros((num_tiles, p), jnp.float32),
         jnp.zeros((num_tiles, p), jnp.float32),
     )
-    (t_final, acc_c, acc_d, acc_n, acc_med, acc_dist, *_), _ = jax.lax.scan(body, init, xs)
+    (t_final, _, acc_c, acc_d, acc_n, acc_med, acc_dist, *_), _ = jax.lax.scan(body, init, xs)
     return t_final, acc_c, acc_d, acc_n, acc_med, acc_dist
 
 

@@ -34,6 +34,10 @@ class Opt2DParams(OptParams):
     depth_ratio: float = 1.0
     opacity_cull: float = 0.5
     max_screen_size: float = 0.2
+    # gs2dgs overrides of the 3DGS loss weights
+    lambda_isotropic: float = 0.0001
+    dn_l1_weight_init: float = 0.2
+    dn_l1_weight_final: float = 0.05
 
 
 @partial(
@@ -109,7 +113,9 @@ def train_step_2d(
             dn = (1.0 - (surf_normal * pred_normal).sum(axis=0)).mean()
             rn_loss = (1.0 - (rend_normal * pred_normal).sum(axis=0)).mean()
             depth_loss = depth_loss + late * w * (dn + rn_loss)
-        if opt.lambda_isotropic > 0:
+        # the reference adds the isotropic term only inside the depth_est
+        # branch (train_2dgs.py loss nesting)
+        if has_depth_est and opt.lambda_isotropic > 0:
             s = jnp.exp(params["scaling"])
             iso = jnp.abs(s - s.mean(axis=1, keepdims=True))
             iso = jnp.sum(jnp.where(alive[:, None], iso, 0.0)) / (n_alive * s.shape[1])

@@ -115,3 +115,68 @@ class TestPallasSurfel:
                 getattr(b, name), getattr(a, name), atol=3e-6, err_msg=name
             )
         np.testing.assert_array_equal(a.radii, b.radii)
+
+
+def make_saturating_scene(n=400, seed=11):
+    """Splats stacked over the same screen area with alpha ~0.07 each:
+    transmittance crosses the 1e-4 termination threshold around key ~127,
+    mid-stream relative to pallas_chunk=128, with hundreds of keys behind it
+    — the regression case for the sticky-done rule and the n_contrib
+    prefix semantics (post-termination keys must stay excluded)."""
+    rng = np.random.default_rng(seed)
+    xyz = rng.uniform(-0.05, 0.05, size=(n, 3)).astype(np.float32)
+    xyz[:, 2] = np.linspace(-0.5, 0.5, n)  # well-spread depths
+    scales = np.full((n, 3), 1.5, np.float32)
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    opacity = np.full(n, 0.07, np.float32)
+    colors = rng.uniform(0.0, 1.0, size=(n, 3)).astype(np.float32)
+    shs = np.zeros((n, 16, 3), np.float32)
+    from scorp_tpu.core.sh import rgb_to_sh
+
+    shs[:, 0, :] = rgb_to_sh(colors)
+    return (
+        jnp.asarray(xyz), jnp.asarray(scales), jnp.asarray(quats),
+        jnp.asarray(opacity), jnp.asarray(shs),
+    )
+
+
+SAT_CFG = RasterConfig(max_keys=1 << 14, tile_list_len=512, chunk=16, pallas_chunk=128)
+
+
+class TestSaturation:
+    def test_forward_matches_xla_when_saturated(self):
+        xyz, scales, quats, opa, shs = make_saturating_scene()
+        out_x = rasterize_xla(
+            xyz, opa, CAM, BG, shs=shs, sh_degree=0, scales=scales, quats=quats,
+            cfg=SAT_CFG,
+        )
+        # nearly every pixel must actually terminate for this to regress-test
+        assert float(jnp.mean(out_x.alpha)) > 0.999
+        out_p = rasterize_pallas_fwd_only(
+            xyz, opa, CAM, BG, shs=shs, sh_degree=0, scales=scales, quats=quats,
+            cfg=SAT_CFG, interpret=True,
+        )
+        np.testing.assert_allclose(out_p.color, out_x.color, atol=3e-6)
+        np.testing.assert_allclose(out_p.alpha, out_x.alpha, atol=3e-6)
+        np.testing.assert_allclose(out_p.depth_accum, out_x.depth_accum, atol=3e-5)
+
+    def test_grads_match_xla_when_saturated(self):
+        xyz, scales, quats, opa, shs = make_saturating_scene(n=320, seed=12)
+        target = jnp.zeros((3, 48, 64))
+
+        def f(raster, interp):
+            def loss(xyz, opa):
+                kw = {"interpret": True} if interp else {}
+                out = raster(
+                    xyz, opa, CAM, BG, shs=shs, sh_degree=0,
+                    scales=scales, quats=quats, cfg=SAT_CFG, **kw
+                )
+                return jnp.sum((out.color - target) ** 2) + jnp.sum(out.alpha)
+            return loss
+
+        gx = jax.grad(f(rasterize_xla, False), argnums=(0, 1))(xyz, opa)
+        gp = jax.grad(f(rasterize_pallas, True), argnums=(0, 1))(xyz, opa)
+        # gradients at saturated pixels hinge on excluding post-termination
+        # keys; the old non-sticky kernel inflated these by orders of magnitude
+        for a, b in zip(gp, gx):
+            np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-3)

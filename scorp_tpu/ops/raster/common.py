@@ -36,6 +36,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...core import sh as sh_lib
 from ...core.camera import CameraJax
@@ -88,6 +89,42 @@ class StreamBins(NamedTuple):
 
 DATA_ROWS = 10
 DATA_ROWS_PADDED = 16
+
+
+def gather_rows_u16(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Exact f32 row gather via u16 bitcast halves.
+
+    XLA's TPU row gather runs ~12 ns/row for 32-bit dtypes regardless of row
+    width, but ~3x faster for 16-bit dtypes (measured on v5e). Bitcasting
+    each f32 to two u16 halves and gathering the twice-as-wide u16 table is
+    bit-exact and ~3x faster. No gradient (bitcast is opaque to autodiff).
+    """
+    r, c = table.shape
+    t16 = jax.lax.bitcast_convert_type(table, jnp.uint16).reshape(r, 2 * c)
+    rows = t16[idx]
+    return jax.lax.bitcast_convert_type(rows.reshape(-1, c, 2), jnp.float32)
+
+
+@jax.custom_vjp
+def fast_gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Differentiable row gather table[idx] with the u16 fast path.
+
+    The VJP is the same scatter-add autodiff would produce for table[idx].
+    """
+    return gather_rows_u16(table, idx)
+
+
+def _fast_gather_fwd(table, idx):
+    return gather_rows_u16(table, idx), (idx, table.shape[0])
+
+
+def _fast_gather_bwd(res, g):
+    idx, n_rows = res
+    d_table = jnp.zeros((n_rows, g.shape[1]), g.dtype).at[idx].add(g)
+    return d_table, np.zeros(idx.shape, jax.dtypes.float0)
+
+
+fast_gather_rows.defvjp(_fast_gather_fwd, _fast_gather_bwd)
 
 
 def grid_dims(width: int, height: int) -> tuple[int, int]:
@@ -356,22 +393,25 @@ def bin_stream(prep: Preprocessed, width: int, height: int, cfg: RasterConfig) -
     # (identity column: after the [order] permutation, row i carries order[i])
     n = prep.xy.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-    table = jnp.concatenate(
-        [
-            prep.xy,
-            prep.conic,
-            prep.color,
-            prep.opacity[:, None],
-            prep.depth[:, None],
-            jax.lax.bitcast_convert_type(iota, jnp.float32),
-        ],
-        axis=1,
-    )[order]
+    table = fast_gather_rows(
+        jnp.concatenate(
+            [
+                prep.xy,
+                prep.conic,
+                prep.color,
+                prep.opacity[:, None],
+                prep.depth[:, None],
+                jax.lax.bitcast_convert_type(iota, jnp.float32),
+            ],
+            axis=1,
+        ),
+        order,
+    )
 
     sorted_tile, g_sorted = jax.lax.sort(
         (tile, jnp.maximum(g_of_k, 0)), num_keys=1, is_stable=True
     )
-    key_rows = table[g_sorted]                   # [K, 11] the one big gather
+    key_rows = fast_gather_rows(table, g_sorted)  # [K, 11] the one big gather
     sorted_gidx = jax.lax.bitcast_convert_type(key_rows[:, DATA_ROWS], jnp.int32)
 
     data = jnp.concatenate(

@@ -95,7 +95,11 @@ def _make_composite(width: int, height: int, cfg: RasterConfig, interpret: bool)
             jnp.zeros(k, jnp.int32).at[tile_start].max(shift, mode="drop")
         )
         pos = jnp.arange(k, dtype=jnp.int32) + shift_of_j
-        d_data_stream = grads_padded.T[jnp.clip(pos, 0, k_pad - 1)].T
+        from .common import gather_rows_u16
+
+        d_data_stream = gather_rows_u16(
+            grads_padded.T, jnp.clip(pos, 0, k_pad - 1)
+        ).T
         # zero out the DMA tail padding columns of `data`
         pad_cols = data.shape[1] - k
         d_data = jnp.concatenate(

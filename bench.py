@@ -1,12 +1,15 @@
-"""Headline benchmark: 3DGS rasterizer render FPS on a kitchen-scale scene.
+"""Headline benchmarks on a kitchen-scale scene (250k Gaussians, 1600x1066,
+the reference's -r -1 auto-1600 policy on a mipnerf360-style capture).
 
-Scene: 250k Gaussians, 1600x1066 render (the reference's -r -1 auto-1600
-resolution policy on a mipnerf360-style capture). The reference publishes no
-numbers (BASELINE.md), so vs_baseline is reported against the commonly-cited
-~100 FPS of the CUDA diff-gaussian-rasterization at this scale on a desktop
-GPU; the driver-measured reference number supersedes it when available.
+Prints one JSON line per metric:
+  render_fps_250k_1600x1066  — forward rasterization FPS (eval path)
+  train_step_ms_250k_1600x1066 — full fwd+bwd+adam step latency
+  tpu_kernel_parity — on-device Pallas-vs-XLA fwd parity (max |diff|); the
+    per-round Mosaic regression smoke (compiled kernels, not interpreter)
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no numbers (BASELINE.md); vs_baseline is reported
+against the commonly-cited ~100 FPS / ~15 it/s of the CUDA stack at this
+scale on a desktop GPU; driver-measured reference numbers supersede it.
 """
 
 import json
@@ -46,44 +49,144 @@ def build_scene(n=250_000, seed=0, width=1600, height=1066):
     )
 
 
-def main():
+def bench_render(xyz, shs, scales, quats, opacity, cam, cfg):
     import jax
     import jax.numpy as jnp
 
-    from scorp_tpu.ops.raster import RasterConfig
-    from scorp_tpu.ops.raster import rasterize
+    from scorp_tpu.ops.raster.pallas_fwd import rasterize_pallas_fwd_only
 
-    xyz, shs, scales, quats, opacity, cam = build_scene()
-    cfg = RasterConfig(max_keys=1 << 21, tile_list_len=4096, chunk=64, pallas_chunk=256)
     bg = jnp.zeros(3, jnp.float32)
 
     @jax.jit
     def render_frame(xyz, shs, scales, quats, opacity):
-        out = rasterize(
+        out = rasterize_pallas_fwd_only(
             xyz, opacity, cam, bg, shs=shs, sh_degree=3,
             scales=scales, quats=quats, cfg=cfg,
         )
-        return out.color, out.num_dropped_keys, out.num_dropped_tail
+        return out.color, out.num_dropped_keys
 
-    color, dk, dt = render_frame(xyz, shs, scales, quats, opacity)
+    color, dk = render_frame(xyz, shs, scales, quats, opacity)
     color.block_until_ready()
-    assert int(dk) == 0 and int(dt) == 0, (int(dk), int(dt))
+    assert int(dk) == 0, int(dk)
 
     n_frames = 30
     t0 = time.perf_counter()
     for _ in range(n_frames):
-        color, _, _ = render_frame(xyz, shs, scales, quats, opacity)
+        color, _ = render_frame(xyz, shs, scales, quats, opacity)
     color.block_until_ready()
-    dt_s = time.perf_counter() - t0
-    fps = n_frames / dt_s
-
-    baseline_fps = 100.0  # placeholder: typical CUDA reference FPS at this scale
+    fps = n_frames / (time.perf_counter() - t0)
     print(json.dumps({
         "metric": "render_fps_250k_1600x1066",
         "value": round(fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / baseline_fps, 3),
+        "vs_baseline": round(fps / 100.0, 3),
     }))
+
+
+def bench_train_step(xyz, shs, scales, quats, opacity, cam, cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from scorp_tpu.core.plyio import GaussianData
+    from scorp_tpu.train import OptParams, from_gaussian_data, init_adam
+    from scorp_tpu.train.step import train_step
+
+    n = xyz.shape[0]
+    g = GaussianData(
+        xyz=np.asarray(xyz),
+        f_dc=np.asarray(shs[:, :1]),
+        f_rest=np.asarray(shs[:, 1:]),
+        opacity=np.log(np.asarray(opacity) / (1 - np.asarray(opacity)))[:, None],
+        scaling=np.log(np.asarray(scales)),
+        rotation=np.asarray(quats),
+    )
+    state = from_gaussian_data(g, capacity=n)
+    adam = init_adam(state)
+    rng = np.random.default_rng(1)
+    gt = jnp.asarray(rng.uniform(0, 1, (3, cam.height, cam.width)).astype(np.float32))
+    zeros1 = jnp.zeros((1, cam.height, cam.width), jnp.float32)
+    bg = jnp.zeros(3, jnp.float32)
+    opt = OptParams()
+
+    def step(state, adam, it):
+        return train_step(
+            state, adam, cam, gt, zeros1, zeros1, it, bg,
+            opt=opt, sh_degree=3, cfg=cfg,
+        )
+
+    it = jnp.int32(1000)
+    state, adam, metrics = step(state, adam, it)
+    jax.block_until_ready(metrics)
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, adam, metrics = step(state, adam, it)
+    jax.block_until_ready(metrics)
+    ms = (time.perf_counter() - t0) / n_steps * 1e3
+    print(json.dumps({
+        "metric": "train_step_ms_250k_1600x1066",
+        "value": round(ms, 2),
+        "unit": "ms/iter",
+        "vs_baseline": round((1000.0 / ms) / 15.0, 3),  # ~15 it/s CUDA ballpark
+    }))
+
+
+def bench_kernel_parity():
+    """Compiled-on-device Pallas vs XLA parity (fwd color/alpha + one VJP).
+
+    Catches Mosaic lowering regressions that interpreter-mode CPU tests
+    cannot see. Runs a tiny scene so it costs only compile time.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from scorp_tpu.core.camera import look_at_camera
+    from scorp_tpu.core.sh import rgb_to_sh
+    from scorp_tpu.ops.raster import RasterConfig, rasterize_xla
+    from scorp_tpu.ops.raster.pallas import rasterize_pallas
+
+    rng = np.random.default_rng(3)
+    n = 512
+    xyz = jnp.asarray(rng.uniform(-1, 1, (n, 3)).astype(np.float32))
+    scales = jnp.asarray(np.exp(rng.normal(np.log(0.08), 0.4, (n, 3))).astype(np.float32))
+    quats = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    opa = jnp.asarray(rng.uniform(0.2, 0.95, n).astype(np.float32))
+    shs = np.zeros((n, 16, 3), np.float32)
+    shs[:, 0] = rgb_to_sh(rng.uniform(0.1, 0.9, (n, 3)))
+    shs = jnp.asarray(shs)
+    cam = look_at_camera(eye=[0, 0, -4], target=[0, 0, 0], up=[0, 1, 0],
+                         fovx=0.9, fovy=0.75, width=128, height=96)
+    bg = jnp.zeros(3, jnp.float32)
+    cfg = RasterConfig(max_keys=1 << 15, tile_list_len=512, chunk=32,
+                       pallas_chunk=128)
+
+    def loss(raster):
+        def f(xyz, opa):
+            out = raster(xyz, opa, cam, bg, shs=shs, sh_degree=3,
+                         scales=scales, quats=quats, cfg=cfg)
+            return ((out.color - 0.3) ** 2).mean() + (out.alpha ** 2).mean()
+        return f
+
+    lx, gx = jax.jit(jax.value_and_grad(loss(rasterize_xla)))(xyz, opa)
+    lp, gp = jax.jit(jax.value_and_grad(loss(rasterize_pallas)))(xyz, opa)
+    diff = max(float(jnp.abs(lx - lp)), float(jnp.max(jnp.abs(gx - gp))))
+    print(json.dumps({
+        "metric": "tpu_kernel_parity",
+        "value": float(f"{diff:.3g}"),
+        "unit": "max_abs_diff (pass < 5e-3)",
+        "vs_baseline": 1.0 if diff < 5e-3 else 0.0,
+    }))
+
+
+def main():
+    from scorp_tpu.ops.raster import RasterConfig
+
+    scene = build_scene()
+    cfg = RasterConfig(max_keys=1 << 21, tile_list_len=4096, chunk=64,
+                       pallas_chunk=128)
+    bench_render(*scene, cfg)
+    bench_train_step(*scene, cfg)
+    bench_kernel_parity()
 
 
 if __name__ == "__main__":

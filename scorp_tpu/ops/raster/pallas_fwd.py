@@ -76,6 +76,7 @@ def _fwd_kernel(
     *,
     tiles_x: int,
     chunk: int,
+    track_ncontrib: bool = True,
 ):
     t = pl.program_id(0)
     start = tile_start_ref[t]
@@ -156,15 +157,16 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )                                                           # [1, p]
-        # n_contrib = 1-based stream position (from the segment start) of the
-        # last included key with alpha > 0 — the reference last_contributor,
-        # consumed by the backward as a prefix length.
-        contrib = jnp.logical_and(include, alpha > 0.0)
-        pos1 = (kpos - head) + 1                                    # [1, C]
-        n_con = jnp.maximum(
-            n_con,
-            jnp.max(jnp.where(contrib, pos1, 0), axis=1, keepdims=True),
-        )
+        if track_ncontrib:
+            # n_contrib = 1-based stream position (from the segment start) of
+            # the last included key with alpha > 0 — the reference
+            # last_contributor, consumed by the backward as a prefix length.
+            contrib = jnp.logical_and(include, alpha > 0.0)
+            pos1 = (kpos - head) + 1                                # [1, C]
+            n_con = jnp.maximum(
+                n_con,
+                jnp.max(jnp.where(contrib, pos1, 0), axis=1, keepdims=True),
+            )
         # included set is a per-pixel prefix -> post-chunk T is the smallest
         # included t_after (reduce_min; Mosaic has no reduce_prod)
         t_carry = jnp.min(
@@ -203,7 +205,9 @@ def _fwd_kernel(
     out_ncontrib_ref[0, 0, :] = n_inc.reshape(1, p)[0, :]
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "cfg", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "cfg", "interpret", "track_ncontrib")
+)
 def composite_stream_pallas(
     bins: StreamBins,
     bg: jnp.ndarray,
@@ -211,6 +215,7 @@ def composite_stream_pallas(
     height: int,
     cfg: RasterConfig,
     interpret: bool = False,
+    track_ncontrib: bool = True,
 ):
     """Returns (color [T,3,P], depth [T,1,P], alpha [T,1,P], n_contrib)."""
     data = jnp.concatenate(
@@ -219,12 +224,16 @@ def composite_stream_pallas(
     return _composite_kernel_call(
         data, bins.tile_start, bins.tile_count, bg,
         width=width, height=height, cfg=cfg, interpret=interpret,
+        track_ncontrib=track_ncontrib,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "cfg", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "cfg", "interpret", "track_ncontrib")
+)
 def _composite_kernel_call(
-    data, tile_start, tile_count, bg, *, width, height, cfg, interpret=False
+    data, tile_start, tile_count, bg, *, width, height, cfg, interpret=False,
+    track_ncontrib=True,
 ):
     """Raw kernel invocation; `data` must already be chunk-padded at the end."""
     tiles_x, tiles_y = grid_dims(width, height)
@@ -248,7 +257,9 @@ def _composite_kernel_call(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_fwd_kernel, tiles_x=tiles_x, chunk=chunk)
+    kernel = functools.partial(
+        _fwd_kernel, tiles_x=tiles_x, chunk=chunk, track_ncontrib=track_ncontrib
+    )
     out_color, out_depth, out_alpha, out_ncontrib = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -293,7 +304,7 @@ def rasterize_pallas_fwd_only(
     )
     bins = bin_stream(prep, w, h, cfg)
     color_t, depth_t, alpha_t, _ = composite_stream_pallas(
-        bins, bg, w, h, cfg, interpret=interpret
+        bins, bg, w, h, cfg, interpret=interpret, track_ncontrib=False
     )
     color = tiles_cp_to_image(color_t, w, h)
     depth = tiles_cp_to_image(depth_t, w, h)

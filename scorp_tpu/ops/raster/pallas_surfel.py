@@ -65,7 +65,7 @@ def surfel_stream(prep: SurfelPrep, width: int, height: int, cfg: RasterConfig):
     k_cap = cfg.max_keys
 
     common = _surfel_prep_to_common(prep)
-    tile, g_of_k, order, total = _expand_keys_core(common, width, height, k_cap)
+    tile, g_of_k, order, total, *_ = _expand_keys_core(common, width, height, k_cap)
 
     n = prep.xy.shape[0]
     m_rows = prep.M.reshape(n, 9)  # row-major (m1, m2, m3)

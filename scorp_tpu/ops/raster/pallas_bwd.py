@@ -68,7 +68,7 @@ def _bwd_kernel(
     alpha_out_ref,    # [1, 1, P] forward alpha (T_final = 1 - alpha)
     ncontrib_ref,     # [1, 1, P] i32
     # outputs
-    out_grads_ref,    # [16, K_pad] f32 ANY (chunk-aligned per-tile segments)
+    out_grads_ref,    # [K_pad/C, 16, C] f32 ANY (one block per chunk slot)
     # scratch
     chunk_vmem,       # [16, C]
     grad_vmem,        # [16, C]
@@ -188,9 +188,12 @@ def _bwd_kernel(
         grad_vmem[9:10, :] = d_depth
         grad_vmem[10:16, :] = jnp.zeros((6, chunk), jnp.float32)
 
-        out_off = pl.multiple_of((cbase + ci) * chunk, 128)
+        # one [16, chunk] block per chunk slot; the caller transposes each
+        # block to rows (a local (16,chunk) relayout XLA does at bandwidth,
+        # forcing a row-major materialization so the downstream per-key row
+        # gather stays on the fast path)
         wcopy = pltpu.make_async_copy(
-            grad_vmem, out_grads_ref.at[:, pl.ds(out_off, chunk)], sem_out
+            grad_vmem, out_grads_ref.at[cbase + ci], sem_out
         )
         wcopy.start()
         wcopy.wait()
@@ -234,7 +237,8 @@ def backward_kernel_call(
     p = TILE * TILE
     chunk = cfg.pallas_chunk
     bg4 = jnp.concatenate([bg.astype(jnp.float32), jnp.zeros(1, jnp.float32)])
-    zeros_out = jnp.zeros((data.shape[0], k_pad), jnp.float32)
+    assert k_pad % chunk == 0
+    zeros_out = jnp.zeros((k_pad // chunk, data.shape[0], chunk), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -269,7 +273,9 @@ def backward_kernel_call(
     (out_grads,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((data.shape[0], k_pad), jnp.float32)],
+        out_shape=[
+            jax.ShapeDtypeStruct((k_pad // chunk, data.shape[0], chunk), jnp.float32)
+        ],
         input_output_aliases={10: 0},  # zeros input (after 4 prefetch args) -> output
         interpret=interpret,
     )(

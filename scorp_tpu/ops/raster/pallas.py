@@ -175,9 +175,10 @@ def _aligned_routing(prep_sg, width, height, cfg):
     j_of_p = p - padshift_p
     valid_p = j_of_p < end_p
 
-    g16 = gather_rows_u16(
-        _f32(g_sorted)[:, None], jnp.clip(j_of_p, 0, k - 1)
-    )
+    # [K, 2] source (g duplicated): a [K, 1] source lowers to a tiny-row
+    # column-major gather that is ~4x slower on TPU
+    gsrc = _f32(jnp.stack([g_sorted, g_sorted], axis=1))
+    g16 = gather_rows_u16(gsrc, jnp.clip(j_of_p, 0, k - 1))
     g_j = _i32(g16[:, 0])
     n_rows = prep_sg.xy.shape[0]
     g_pad = jnp.where(valid_p, g_j, 0)

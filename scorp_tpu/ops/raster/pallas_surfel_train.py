@@ -1,0 +1,671 @@
+"""Differentiable Pallas 2DGS surfel rasterizer (training path).
+
+Mirrors pallas.py's chunk-aligned custom-VJP design with the surfel math of
+pallas_surfel.py, replacing the XLA-autodiff training path (~1 s/step at
+kitchen scale). Gradient semantics match the reference
+diff-surfel-rasterization backward (loss use at
+/root/reference/train_2dgs.py:141-150, channel contract at
+gs2dgs/gaussian_renderer/__init__.py:111-154):
+
+  * forward kernel = the eval kernel plus training residuals: n_contrib
+    (position of the last contributing key, reference last_contributor),
+    n_med (position of the median-depth contributor), and the per-pixel
+    distortion moments sum(w*m), sum(w*m^2);
+  * the distortion VJP needs only those totals: with A = sum(w) = alpha
+    output, dL/dw_i collapses to m^2(A-w) + (D2-w m^2) - 2m(D-w m) and
+    dL/dm_i to 2w(m(A-w) - (D-w m)) because prefix+suffix sums telescope;
+  * the backward kernel re-walks each tile back-to-front like
+    pallas_bwd.py (reverse Hillis-Steele transmittance reconstruction,
+    suffix sums of w*u), recomputes the ray-splat homography, and emits
+    per-key gradients for all 21 stream rows (M 9, zrow 3, center xy 2,
+    color 3, opacity 1, normal 3) at chunk-aligned stream positions;
+  * gradients through the alpha=0.99 clamp propagate unconditionally
+    (CUDA semantics); u,v clip gates and the rho3d/rho2d min-branch follow
+    the XLA path's autodiff exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import RasterConfig, TILE, fast_gather_rows, gather_rows_u16, grid_dims
+from .pallas import _aligned_routing, _f32, _i32
+from .pallas_fwd import (
+    _cumprod_excl_lanes,
+    _masked_cumprod_lanes,
+    tiles_cp_to_image,
+)
+from .pallas_bwd import _rev_scan_lanes
+from .pallas_surfel import SURFEL_ROWS, _masked_cumsum_lanes
+from .surfel import (
+    ALPHA_MAX,
+    ALPHA_MIN,
+    FAR_PLANE,
+    FILTER_INV_SQUARE,
+    NEAR_PLANE,
+    T_EPS,
+    SurfelOutput,
+    _surfel_prep_to_common,
+    preprocess_surfel,
+)
+
+FF = FAR_PLANE / (FAR_PLANE - NEAR_PLANE)
+
+
+def _surfel_geometry(cur, pix_x, pix_y):
+    """Shared fwd/bwd recompute: stream chunk -> per-(pixel,key) quantities.
+
+    Returns a dict of intermediates needed by both passes.
+    """
+    m1x, m1y, m1z = cur[0:1, :], cur[1:2, :], cur[2:3, :]
+    m2x, m2y, m2z = cur[3:4, :], cur[4:5, :], cur[5:6, :]
+    m3x, m3y, m3z = cur[6:7, :], cur[7:8, :], cur[8:9, :]
+    zu, zv, zc = cur[9:10, :], cur[10:11, :], cur[11:12, :]
+    cx, cy = cur[12:13, :], cur[13:14, :]
+    opa = cur[17:18, :]
+
+    hux = m1x - pix_x * m3x      # [p, C]
+    huy = m1y - pix_x * m3y
+    huz = m1z - pix_x * m3z
+    hvx = m2x - pix_y * m3x
+    hvy = m2y - pix_y * m3y
+    hvz = m2z - pix_y * m3z
+    sx = huy * hvz - huz * hvy
+    sy = huz * hvx - hux * hvz
+    s_z = hux * hvy - huy * hvx
+    sz = jnp.where(jnp.abs(s_z) > 1e-9, s_z, 1e-9)
+    u_raw = sx / sz
+    v_raw = sy / sz
+    u = jnp.clip(u_raw, -1e3, 1e3)
+    v = jnp.clip(v_raw, -1e3, 1e3)
+
+    rho3d = u * u + v * v
+    dx = cx - pix_x
+    dy = cy - pix_y
+    rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
+    use3d = rho3d <= rho2d
+    rho = jnp.minimum(rho3d, rho2d)
+    big_g = jnp.exp(-0.5 * rho)
+    alpha_u = opa * big_g
+    alpha = jnp.minimum(ALPHA_MAX, alpha_u)
+    z = jnp.where(use3d, u * zu + v * zv + zc, zc)
+    return dict(
+        hu=(hux, huy, huz), hv=(hvx, hvy, hvz), s=(sx, sy, s_z), sz=sz,
+        u_raw=u_raw, v_raw=v_raw, u=u, v=v, use3d=use3d,
+        dx=dx, dy=dy, big_g=big_g, alpha_u=alpha_u, alpha=alpha, z=z,
+        zu=zu, zv=zv, opa=opa,
+    )
+
+
+def _surfel_train_fwd_kernel(
+    tile_start_ref, tile_count_ref, bg_ref,
+    data_ref,
+    out_color_ref,    # [1, 3, P]
+    out_alpha_ref,    # [1, 1, P]
+    out_depth_ref,    # [1, 1, P]
+    out_normal_ref,   # [1, 3, P]
+    out_median_ref,   # [1, 1, P]
+    out_dist_ref,     # [1, 1, P]
+    out_ncon_ref,     # [1, 1, P] i32
+    out_nmed_ref,     # [1, 1, P] i32
+    out_wm_ref,       # [1, 1, P] sum(w*m)
+    out_wm2_ref,      # [1, 1, P] sum(w*m^2)
+    chunk_vmem, sem,
+    *, tiles_x: int, chunk: int,
+):
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    count = tile_count_ref[t]
+    n_chunks = (count + chunk - 1) // chunk  # aligned stream: head = 0
+
+    p = TILE * TILE
+    tx = (t % tiles_x).astype(jnp.float32)
+    ty = (t // tiles_x).astype(jnp.float32)
+    pix_row = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    pix_x = (tx * TILE) + (pix_row % TILE).astype(jnp.float32)
+    pix_y = (ty * TILE) + (pix_row // TILE).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+
+    def _copy(ci, slot):
+        offset = pl.multiple_of(start + ci * chunk, 128)
+        return pltpu.make_async_copy(
+            data_ref.at[:, pl.ds(offset, chunk)], chunk_vmem.at[slot], sem.at[slot]
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        _copy(jnp.int32(0), 0).start()
+
+    def body(carry):
+        (ci, t_carry, stopped, acc_c, acc_d, acc_n, med, acc_dist,
+         a_run, d_run, d2_run, n_con, n_med) = carry
+        slot = ci % 2
+        _copy(ci, slot).wait()
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            _copy(ci + 1, 1 - slot).start()
+
+        cur = chunk_vmem.at[slot]
+        geo = _surfel_geometry(cur, pix_x, pix_y)
+        alpha, z = geo["alpha"], geo["z"]
+        kpos = ci * chunk + lane
+        valid = kpos < count
+        alpha = jnp.where(valid & (alpha >= ALPHA_MIN) & (z >= NEAR_PLANE), alpha, 0.0)
+
+        cum_excl = _cumprod_excl_lanes(1.0 - alpha, chunk)
+        t_before = t_carry * cum_excl
+        t_after = t_before * (1.0 - alpha)
+        include = jnp.logical_and(stopped < 0.5, t_after >= T_EPS)
+        w = jnp.where(include, alpha * t_before, 0.0)
+
+        colors = cur[14:17, :]
+        acc_c = acc_c + jax.lax.dot_general(
+            colors, w, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        )
+        normals = cur[18:21, :]
+        acc_n = acc_n + jax.lax.dot_general(
+            normals, w, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        )
+        acc_d = acc_d + jnp.sum(w * z, axis=1, keepdims=True)
+
+        contrib = jnp.logical_and(include, alpha > 0.0)
+        pos1 = kpos + 1
+        n_con = jnp.maximum(
+            n_con, jnp.max(jnp.where(contrib, pos1, 0), axis=1, keepdims=True)
+        )
+
+        # median: last contributor with entry transmittance > 0.5
+        cond = contrib & (t_before > 0.5)
+        r = jnp.max(jnp.where(cond, pos1, 0), axis=1, keepdims=True)
+        zsel = jnp.sum(jnp.where(pos1 == r, z, 0.0), axis=1, keepdims=True)
+        has = r > 0
+        med = jnp.where(has, zsel, med)
+        n_med = jnp.where(has, r, n_med)
+
+        m = FF * (1.0 - NEAR_PLANE / jnp.maximum(z, 1e-6))
+        wm = w * m
+        wm2 = wm * m
+        a_pre = a_run + _masked_cumsum_lanes(w, chunk) - w
+        d_pre = d_run + _masked_cumsum_lanes(wm, chunk) - wm
+        d2_pre = d2_run + _masked_cumsum_lanes(wm2, chunk) - wm2
+        acc_dist = acc_dist + jnp.sum(
+            w * (m * m * a_pre + d2_pre - 2.0 * m * d_pre), axis=1, keepdims=True
+        )
+        a_run = a_run + jnp.sum(w, axis=1, keepdims=True)
+        d_run = d_run + jnp.sum(wm, axis=1, keepdims=True)
+        d2_run = d2_run + jnp.sum(wm2, axis=1, keepdims=True)
+
+        t_carry = jnp.min(jnp.where(include, t_after, t_carry), axis=1, keepdims=True)
+        stopped = jnp.maximum(
+            stopped, (t_after[:, chunk - 1 : chunk] < T_EPS).astype(jnp.float32)
+        )
+        return (ci + 1, t_carry, stopped, acc_c, acc_d, acc_n, med, acc_dist,
+                a_run, d_run, d2_run, n_con, n_med)
+
+    def cond_fn(carry):
+        ci, stopped = carry[0], carry[2]
+        return (ci < n_chunks) & (jnp.min(stopped) < 0.5)
+
+    zeros1 = jnp.zeros((p, 1), jnp.float32)
+    zi = jnp.zeros((p, 1), jnp.int32)
+    init = (
+        jnp.int32(0), jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32),
+        jnp.zeros((3, p), jnp.float32), zeros1,
+        jnp.zeros((3, p), jnp.float32), zeros1, zeros1, zeros1, zeros1, zeros1,
+        zi, zi,
+    )
+    (ci_final, t_final, _, acc_c, acc_d, acc_n, med, acc_dist,
+     _, d_run, d2_run, n_con, n_med) = jax.lax.while_loop(cond_fn, body, init)
+
+    @pl.when(ci_final < n_chunks)
+    def _():
+        _copy(ci_final, ci_final % 2).wait()
+
+    t_row = t_final.reshape(1, p)
+    bg = bg_ref
+    out_color_ref[0, 0, :] = acc_c[0, :] + t_row[0, :] * bg[0]
+    out_color_ref[0, 1, :] = acc_c[1, :] + t_row[0, :] * bg[1]
+    out_color_ref[0, 2, :] = acc_c[2, :] + t_row[0, :] * bg[2]
+    out_alpha_ref[0, 0, :] = 1.0 - t_row[0, :]
+    out_depth_ref[0, 0, :] = acc_d.reshape(1, p)[0, :]
+    out_normal_ref[0] = acc_n
+    out_median_ref[0, 0, :] = med.reshape(1, p)[0, :]
+    out_dist_ref[0, 0, :] = acc_dist.reshape(1, p)[0, :]
+    out_ncon_ref[0, 0, :] = n_con.reshape(1, p)[0, :]
+    out_nmed_ref[0, 0, :] = n_med.reshape(1, p)[0, :]
+    out_wm_ref[0, 0, :] = d_run.reshape(1, p)[0, :]
+    out_wm2_ref[0, 0, :] = d2_run.reshape(1, p)[0, :]
+
+
+def _surfel_bwd_kernel(
+    tile_start_ref, tile_count_ref, bg_ref,
+    data_ref,
+    g_color_ref, g_alpha_ref, g_depth_ref, g_normal_ref, g_median_ref,
+    g_dist_ref,
+    alpha_out_ref, ncon_ref, nmed_ref, wm_ref, wm2_ref,
+    out_grads_ref,    # [K_al/C, 24, C]
+    chunk_vmem, grad_vmem, sem_in, sem_out,
+    *, tiles_x: int, chunk: int,
+):
+    t = pl.program_id(0)
+    start = tile_start_ref[t]
+    count = tile_count_ref[t]
+    cbase = start // chunk
+
+    p = TILE * TILE
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    tx = (t % tiles_x).astype(jnp.float32)
+    ty = (t // tiles_x).astype(jnp.float32)
+    pix_row = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    pix_x = (tx * TILE) + (pix_row % TILE).astype(jnp.float32)
+    pix_y = (ty * TILE) + (pix_row // TILE).astype(jnp.float32)
+
+    g_c = g_color_ref[0]                       # [3, P]
+    g_a = g_alpha_ref[0]                       # [1, P]
+    g_d = g_depth_ref[0]                       # [1, P]
+    g_n = g_normal_ref[0]                      # [3, P]
+    g_med = g_median_ref[0].reshape(p, 1)
+    g_dist = g_dist_ref[0].reshape(p, 1)
+    a_all = alpha_out_ref[0].reshape(p, 1)     # sum(w) = 1 - T_final
+    t_final_row = 1.0 - alpha_out_ref[0]       # [1, P]
+    n_con_col = ncon_ref[0].reshape(p, 1)
+    n_med_col = nmed_ref[0].reshape(p, 1)
+    d_all = wm_ref[0].reshape(p, 1)
+    d2_all = wm2_ref[0].reshape(p, 1)
+
+    bg = bg_ref
+    g_t = bg[0] * g_c[0:1, :] + bg[1] * g_c[1:2, :] + bg[2] * g_c[2:3, :] - g_a
+    gt_term = (t_final_row * g_t).reshape(p, 1)
+    g_d_col = g_d.reshape(p, 1)
+
+    max_inc = jnp.minimum(jnp.max(n_con_col), count)
+    hi = (max_inc + chunk - 1) // chunk
+
+    def body(carry):
+        ci, t_run, s_run = carry
+        offset = pl.multiple_of(start + ci * chunk, 128)
+        copy = pltpu.make_async_copy(
+            data_ref.at[:, pl.ds(offset, chunk)], chunk_vmem, sem_in
+        )
+        copy.start()
+        copy.wait()
+
+        cur = chunk_vmem
+        geo = _surfel_geometry(cur, pix_x, pix_y)
+        alpha, z = geo["alpha"], geo["z"]
+        alpha_u, big_g = geo["alpha_u"], geo["big_g"]
+        u, v, use3d = geo["u"], geo["v"], geo["use3d"]
+        zu, zv, opa = geo["zu"], geo["zv"], geo["opa"]
+        dx, dy = geo["dx"], geo["dy"]
+        sx, sy, s_z = geo["s"]
+        sz = geo["sz"]
+        hux, huy, huz = geo["hu"]
+        hvx, hvy, hvz = geo["hv"]
+
+        kpos = ci * chunk + lane
+        in_seg = kpos < count
+        amask = in_seg & (alpha >= ALPHA_MIN) & (z >= NEAR_PLANE)
+        alpha_eff = jnp.where(amask, alpha, 0.0)
+
+        include = in_seg & (kpos < n_con_col)               # [p, C]
+        om = jnp.where(include, 1.0 - alpha_eff, 1.0)
+        revprod = _rev_scan_lanes(om, chunk, jnp.multiply, 1.0)
+        t_before = t_run / revprod
+        w = jnp.where(include, alpha_eff * t_before, 0.0)
+
+        m = FF * (1.0 - NEAR_PLANE / jnp.maximum(z, 1e-6))
+        wm = w * m
+        wm2 = wm * m
+        # telescoped distortion coefficients (prefix+suffix totals)
+        a_bar = a_all - w
+        d_bar = d_all - wm
+        d2_bar = d2_all - wm2
+        psi = m * m * a_bar + d2_bar - 2.0 * m * d_bar
+
+        colors = cur[14:17, :]
+        normals = cur[18:21, :]
+        # u_i(p) = c.g_C + n.g_N + z g_D + g_dist psi
+        uu = jax.lax.dot_general(
+            g_c, colors, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        )
+        uu = uu + jax.lax.dot_general(
+            g_n, normals, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        )
+        uu = uu + g_d_col * z + g_dist * psi
+
+        wu = w * uu
+        revsum_incl = _rev_scan_lanes(wu, chunk, jnp.add, 0.0)
+        s_i = s_run + revsum_incl - wu
+
+        one_minus = jnp.where(amask, 1.0 - alpha_eff, 1.0)
+        dalpha = t_before * uu - (s_i + gt_term) / one_minus
+        emit = amask & include
+        dalpha = jnp.where(emit, dalpha, 0.0)
+
+        # dL/dz: expected-depth, distortion (dm/dz), median select
+        dm = g_dist * 2.0 * w * (m * a_bar - d_bar)
+        dmdz = FF * NEAR_PLANE / jnp.maximum(z * z, 1e-12)
+        ismed = (kpos + 1) == n_med_col
+        dz = w * g_d_col + dm * dmdz + jnp.where(ismed, g_med, 0.0)
+
+        # alpha = min(0.99, opa*G), G = exp(-rho/2); CUDA propagates through
+        # opa*G unconditionally
+        d_opa_px = big_g * dalpha                           # [p, C]
+        drho = -0.5 * alpha_u * dalpha
+        # rho = min(rho3d, rho2d); z = use3d ? u zu + v zv + zc : zc
+        du = jnp.where(use3d, 2.0 * u * drho + zu * dz, 0.0)
+        dv = jnp.where(use3d, 2.0 * v * drho + zv * dz, 0.0)
+        # clip gates (jnp.clip VJP semantics)
+        du = jnp.where((geo["u_raw"] >= -1e3) & (geo["u_raw"] <= 1e3), du, 0.0)
+        dv = jnp.where((geo["v_raw"] >= -1e3) & (geo["v_raw"] <= 1e3), dv, 0.0)
+        d_zc_px = dz
+        d_zu_px = jnp.where(use3d, u * dz, 0.0)
+        d_zv_px = jnp.where(use3d, v * dz, 0.0)
+
+        not3d = jnp.logical_not(use3d)
+        two_f = 2.0 * FILTER_INV_SQUARE
+        d_cx_px = jnp.where(not3d, two_f * dx * drho, 0.0)
+        d_cy_px = jnp.where(not3d, two_f * dy * drho, 0.0)
+
+        # u = sx/sz, v = sy/sz (sz gradient only where |s_z| > 1e-9)
+        inv_sz = 1.0 / sz
+        dsx = du * inv_sz
+        dsy = dv * inv_sz
+        dsz = -(u * du + v * dv) * inv_sz
+        dsz = jnp.where(jnp.abs(s_z) > 1e-9, dsz, 0.0)
+        # s = hu x hv
+        d_hux = -dsy * hvz + dsz * hvy
+        d_huy = dsx * hvz - dsz * hvx
+        d_huz = -dsx * hvy + dsy * hvx
+        d_hvx = dsy * huz - dsz * huy
+        d_hvy = -dsx * huz + dsz * hux
+        d_hvz = dsx * huy - dsy * hux
+        # hu = m1 - px*m3 ; hv = m2 - py*m3
+
+        def pxsum(x):
+            return jnp.sum(x, axis=0, keepdims=True)        # [1, C]
+
+        grad_vmem[0:1, :] = pxsum(d_hux)
+        grad_vmem[1:2, :] = pxsum(d_huy)
+        grad_vmem[2:3, :] = pxsum(d_huz)
+        grad_vmem[3:4, :] = pxsum(d_hvx)
+        grad_vmem[4:5, :] = pxsum(d_hvy)
+        grad_vmem[5:6, :] = pxsum(d_hvz)
+        grad_vmem[6:7, :] = pxsum(-pix_x * d_hux - pix_y * d_hvx)
+        grad_vmem[7:8, :] = pxsum(-pix_x * d_huy - pix_y * d_hvy)
+        grad_vmem[8:9, :] = pxsum(-pix_x * d_huz - pix_y * d_hvz)
+        grad_vmem[9:10, :] = pxsum(d_zu_px)
+        grad_vmem[10:11, :] = pxsum(d_zv_px)
+        grad_vmem[11:12, :] = pxsum(d_zc_px)
+        grad_vmem[12:13, :] = pxsum(d_cx_px)
+        grad_vmem[13:14, :] = pxsum(d_cy_px)
+        grad_vmem[14:17, :] = jax.lax.dot_general(
+            g_c, w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        )
+        grad_vmem[17:18, :] = pxsum(d_opa_px)
+        grad_vmem[18:21, :] = jax.lax.dot_general(
+            g_n, w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        )
+        grad_vmem[21:24, :] = jnp.zeros((3, chunk), jnp.float32)
+
+        wcopy = pltpu.make_async_copy(grad_vmem, out_grads_ref.at[cbase + ci], sem_out)
+        wcopy.start()
+        wcopy.wait()
+
+        t_run = t_run / revprod[:, 0:1]
+        s_run = s_run + revsum_incl[:, 0:1]
+        return ci - 1, t_run, s_run
+
+    def cond(carry):
+        return carry[0] >= 0
+
+    t0 = t_final_row.reshape(p, 1)
+    s0 = jnp.zeros((p, 1), jnp.float32)
+    jax.lax.while_loop(cond, body, (hi - 1, t0, s0))
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "cfg", "interpret"))
+def _surfel_train_fwd_call(data, tile_start, tile_count, bg, *, width, height,
+                           cfg, interpret=False):
+    tiles_x, tiles_y = grid_dims(width, height)
+    num_tiles = tiles_x * tiles_y
+    p = TILE * TILE
+    chunk = cfg.pallas_chunk
+    bg4 = jnp.concatenate([bg.astype(jnp.float32), jnp.zeros(1, jnp.float32)])
+
+    def spec(c):
+        return pl.BlockSpec((1, c, p), lambda t, *_: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[spec(3), spec(1), spec(1), spec(3), spec(1), spec(1),
+                   spec(1), spec(1), spec(1), spec(1)],
+        scratch_shapes=[
+            pltpu.VMEM((2, SURFEL_ROWS, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(_surfel_train_fwd_kernel, tiles_x=tiles_x, chunk=chunk)
+
+    def sh(c, dt=jnp.float32):
+        return jax.ShapeDtypeStruct((num_tiles, c, p), dt)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[sh(3), sh(1), sh(1), sh(3), sh(1), sh(1),
+                   sh(1, jnp.int32), sh(1, jnp.int32), sh(1), sh(1)],
+        interpret=interpret,
+    )(tile_start, tile_count, bg4, data)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "cfg", "k_al", "interpret")
+)
+def _surfel_bwd_call(
+    data, tile_start, tile_count, bg,
+    g_color_t, g_alpha_t, g_depth_t, g_normal_t, g_median_t, g_dist_t,
+    alpha_t, ncon_t, nmed_t, wm_t, wm2_t,
+    *, width, height, cfg, k_al, interpret=False,
+):
+    tiles_x, tiles_y = grid_dims(width, height)
+    num_tiles = tiles_x * tiles_y
+    p = TILE * TILE
+    chunk = cfg.pallas_chunk
+    bg4 = jnp.concatenate([bg.astype(jnp.float32), jnp.zeros(1, jnp.float32)])
+    zeros_out = jnp.zeros((k_al // chunk, SURFEL_ROWS, chunk), jnp.float32)
+
+    def spec(c):
+        return pl.BlockSpec((1, c, p), lambda t, *_: (t, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # data
+            spec(3), spec(1), spec(1), spec(3), spec(1), spec(1),
+            spec(1), spec(1), spec(1), spec(1), spec(1),
+            pl.BlockSpec(memory_space=pl.ANY),  # zeros (aliased)
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((SURFEL_ROWS, chunk), jnp.float32),
+            pltpu.VMEM((SURFEL_ROWS, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    def kernel(ts, tc, bgr, data_ref, gc, ga, gd, gn, gm, gdist,
+               ao, nc, nm, wm, wm2, zeros_ref, out_ref,
+               chunk_vmem, grad_vmem, sem_in, sem_out):
+        del zeros_ref
+        _surfel_bwd_kernel(
+            ts, tc, bgr, data_ref, gc, ga, gd, gn, gm, gdist,
+            ao, nc, nm, wm, wm2, out_ref,
+            chunk_vmem, grad_vmem, sem_in, sem_out,
+            tiles_x=tiles_x, chunk=chunk,
+        )
+
+    (out_grads,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((k_al // chunk, SURFEL_ROWS, chunk), jnp.float32)
+        ],
+        input_output_aliases={15: 0},  # zeros input (after 3 prefetch args)
+        interpret=interpret,
+    )(
+        tile_start, tile_count, bg4,
+        data, g_color_t, g_alpha_t, g_depth_t, g_normal_t, g_median_t,
+        g_dist_t, alpha_t, ncon_t, nmed_t, wm_t, wm2_t, zeros_out,
+    )
+    return out_grads
+
+
+SURFEL_COLS = 21  # table columns: M 9, zrow 3, xy 2, color 3, opa 1, normal 3
+
+
+@functools.lru_cache(maxsize=64)
+def _make_surfel_composite(width: int, height: int, cfg: RasterConfig,
+                           interpret: bool):
+    tiles_x, tiles_y = grid_dims(width, height)
+    num_tiles = tiles_x * tiles_y
+    chunk = cfg.pallas_chunk
+    k_al = cfg.max_keys + num_tiles * chunk
+
+    def _build_stream(table, g_pad):
+        key_rows = gather_rows_u16(table, g_pad)  # [K_al, 22]
+        data = jnp.concatenate(
+            [
+                key_rows[:, :SURFEL_COLS].T,
+                jnp.zeros((SURFEL_ROWS - SURFEL_COLS, k_al), jnp.float32),
+            ],
+            axis=0,
+        )
+        return jnp.concatenate(
+            [data, jnp.zeros((SURFEL_ROWS, chunk), jnp.float32)], axis=1
+        )
+
+    @jax.custom_vjp
+    def composite(table, g_pad_f, g_drop_f, tile_start_f, tile_count_f, bg):
+        data = _build_stream(table, _i32(g_pad_f))
+        outs = _surfel_train_fwd_call(
+            data, _i32(tile_start_f), _i32(tile_count_f), bg,
+            width=width, height=height, cfg=cfg, interpret=interpret,
+        )
+        return tuple(outs[:6])
+
+    def composite_fwd(table, g_pad_f, g_drop_f, tile_start_f, tile_count_f, bg):
+        g_pad = _i32(g_pad_f)
+        tile_start = _i32(tile_start_f)
+        tile_count = _i32(tile_count_f)
+        data = _build_stream(table, g_pad)
+        outs = _surfel_train_fwd_call(
+            data, tile_start, tile_count, bg,
+            width=width, height=height, cfg=cfg, interpret=interpret,
+        )
+        (color_t, alpha_t, depth_t, normal_t, median_t, dist_t,
+         ncon_t, nmed_t, wm_t, wm2_t) = outs
+        res = (data, _i32(g_drop_f), tile_start, tile_count, bg,
+               alpha_t, ncon_t, nmed_t, wm_t, wm2_t, table.shape[0])
+        return tuple(outs[:6]), res
+
+    def composite_bwd(res, grads):
+        (data, g_drop, tile_start, tile_count, bg,
+         alpha_t, ncon_t, nmed_t, wm_t, wm2_t, n_rows) = res
+        (g_color_t, g_alpha_t, g_depth_t, g_normal_t, g_median_t,
+         g_dist_t) = grads
+
+        grads_padded = _surfel_bwd_call(
+            data, tile_start, tile_count, bg,
+            g_color_t, g_alpha_t, g_depth_t, g_normal_t, g_median_t, g_dist_t,
+            alpha_t, ncon_t, nmed_t, wm_t, wm2_t,
+            width=width, height=height, cfg=cfg, k_al=k_al, interpret=interpret,
+        )
+        updates = grads_padded.transpose(0, 2, 1).reshape(k_al, SURFEL_ROWS)
+        d_table24 = (
+            jnp.zeros((n_rows, SURFEL_ROWS), jnp.float32)
+            .at[g_drop]
+            .add(updates, mode="drop")
+        )
+        d_table = jnp.concatenate(
+            [d_table24[:, :SURFEL_COLS], jnp.zeros((n_rows, 1), jnp.float32)],
+            axis=1,
+        )
+
+        t_final = 1.0 - alpha_t
+        d_bg = jnp.sum(t_final * g_color_t, axis=(0, 2))
+
+        zf = lambda x: jnp.zeros_like(x, jnp.float32)  # noqa: E731
+        return (d_table, zf(g_drop), zf(g_drop), zf(tile_start),
+                zf(tile_count), d_bg)
+
+    composite.defvjp(composite_fwd, composite_bwd)
+    return composite
+
+
+def rasterize_surfel_pallas(
+    means3d, opacities, cam, bg, *,
+    shs=None, sh_degree: int = 0, colors_precomp=None,
+    scales=None, quats=None, scale_modifier: float = 1.0,
+    screen_deltas=None, alive=None, cfg: RasterConfig = RasterConfig(),
+    interpret: bool = False,
+) -> SurfelOutput:
+    """Differentiable 2DGS surfel forward with Pallas fwd+bwd kernels
+    (drop-in replacement for rasterize_surfel_xla)."""
+    w, h = cam.width, cam.height
+    prep = preprocess_surfel(
+        means3d, opacities, cam, shs=shs, sh_degree=sh_degree,
+        colors_precomp=colors_precomp, scales=scales, quats=quats,
+        scale_modifier=scale_modifier, screen_deltas=screen_deltas, alive=alive,
+    )
+    prep_sg = jax.lax.stop_gradient(_surfel_prep_to_common(prep))
+    g_pad, g_drop, aligned_start, tile_count, total, order = _aligned_routing(
+        prep_sg, w, h, cfg
+    )
+
+    n = means3d.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    table = fast_gather_rows(
+        jnp.concatenate(
+            [
+                prep.M.reshape(n, 9), prep.zrow, prep.xy,
+                prep.color, prep.opacity[:, None], prep.normal,
+                jax.lax.bitcast_convert_type(iota, jnp.float32),
+            ],
+            axis=1,
+        ),
+        order,
+    )
+
+    composite = _make_surfel_composite(w, h, cfg, interpret)
+    color_t, alpha_t, depth_t, normal_t, median_t, dist_t = composite(
+        table, _f32(g_pad), _f32(g_drop),
+        _f32(aligned_start), _f32(tile_count), bg.astype(jnp.float32),
+    )
+    color = tiles_cp_to_image(color_t, w, h)
+    alpha = tiles_cp_to_image(alpha_t, w, h)
+    depth = tiles_cp_to_image(depth_t, w, h)
+    normal = tiles_cp_to_image(normal_t, w, h)
+    median = tiles_cp_to_image(median_t, w, h)
+    dist = tiles_cp_to_image(dist_t, w, h)
+    num_dropped = jnp.maximum(total - cfg.max_keys, 0).astype(jnp.int32)
+    return SurfelOutput(color, alpha, depth, normal, median, dist,
+                        prep.radii, num_dropped, jnp.int32(0))

@@ -19,8 +19,8 @@ import jax.numpy as jnp
 
 from ..core.camera import CameraJax
 from ..ops.losses import l1_loss, ssim
-from ..ops.raster import RasterConfig
-from ..ops.raster.surfel import depth_to_normal_jax, rasterize_surfel_xla
+from ..ops.raster import RasterConfig, rasterize_surfel
+from ..ops.raster.surfel import depth_to_normal_jax
 from .state import AdamState, GaussianState, adam_update, expon_lr
 from .step import OptParams, StepMetrics, _masked_mean, _masked_minmax_normalize, compute_lrs
 
@@ -69,7 +69,7 @@ def train_step_2d(
 
     def loss_fn(params, deltas):
         shs = jnp.concatenate([params["f_dc"], params["f_rest"]], axis=1)
-        out = rasterize_surfel_xla(
+        out = rasterize_surfel(
             params["xyz"],
             jax.nn.sigmoid(params["opacity"][:, 0]),
             cam, bg,

@@ -180,3 +180,76 @@ class TestSaturation:
         # keys; the old non-sticky kernel inflated these by orders of magnitude
         for a, b in zip(gp, gx):
             np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-3)
+
+
+class TestPallasSurfelTrain:
+    def _scene(self, n=70, seed=9):
+        rng = np.random.default_rng(seed)
+        xyz = jnp.asarray(rng.uniform(-0.9, 0.9, (n, 3)).astype(np.float32))
+        scales = jnp.asarray(
+            np.exp(rng.normal(np.log(0.25), 0.3, (n, 2))).astype(np.float32)
+        )
+        quats = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+        opa = jnp.asarray(rng.uniform(0.2, 0.9, n).astype(np.float32))
+        colors = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+        return xyz, scales, quats, opa, colors
+
+    def test_forward_matches_xla(self):
+        from scorp_tpu.ops.raster.pallas_surfel_train import rasterize_surfel_pallas
+        from scorp_tpu.ops.raster.surfel import rasterize_surfel_xla
+
+        xyz, scales, quats, opa, colors = self._scene()
+        bg = jnp.array([0.1, 0.2, 0.3])
+        a = rasterize_surfel_xla(
+            xyz, opa, CAM, bg, colors_precomp=colors, scales=scales, quats=quats,
+            cfg=CFG,
+        )
+        b = rasterize_surfel_pallas(
+            xyz, opa, CAM, bg, colors_precomp=colors, scales=scales, quats=quats,
+            cfg=CFG, interpret=True,
+        )
+        for name in ["color", "alpha", "depth_accum", "normal", "depth_median",
+                     "distortion"]:
+            np.testing.assert_allclose(
+                getattr(b, name), getattr(a, name), atol=5e-6, err_msg=name
+            )
+        np.testing.assert_array_equal(a.radii, b.radii)
+
+    def test_grads_match_xla(self):
+        from scorp_tpu.ops.raster.pallas_surfel_train import rasterize_surfel_pallas
+        from scorp_tpu.ops.raster.surfel import rasterize_surfel_xla
+
+        xyz, scales, quats, opa, colors = self._scene(n=60, seed=13)
+        bg = jnp.array([0.0, 0.0, 0.0])
+        tgt = jnp.full((3, 48, 64), 0.4)
+
+        def make_loss(raster, interp):
+            def loss(xyz, scales, quats, opa, colors):
+                kw = {"interpret": True} if interp else {}
+                out = raster(
+                    xyz, opa, CAM, bg, colors_precomp=colors,
+                    scales=scales, quats=quats, cfg=CFG, **kw
+                )
+                # exercise every differentiable channel like train_2dgs
+                return (
+                    ((out.color - tgt) ** 2).mean()
+                    + 0.2 * (out.alpha ** 2).mean()
+                    + 0.1 * (out.depth_accum ** 2).mean()
+                    + 0.1 * ((out.normal - 0.1) ** 2).mean()
+                    + 0.05 * (out.depth_median ** 2).mean()
+                    + 0.5 * out.distortion.mean()
+                )
+            return loss
+
+        args = (xyz, scales, quats, opa, colors)
+        gx = jax.grad(make_loss(rasterize_surfel_xla, False),
+                      argnums=(0, 1, 2, 3, 4))(*args)
+        gp = jax.grad(make_loss(rasterize_surfel_pallas, True),
+                      argnums=(0, 1, 2, 3, 4))(*args)
+        names = ["xyz", "scales", "quats", "opa", "colors"]
+        for a, b, name in zip(gp, gx, names):
+            scale = max(float(jnp.abs(b).max()), 1e-8)
+            np.testing.assert_allclose(
+                a, b, atol=3e-5 * max(scale, 1.0) + 1e-9, rtol=2e-4,
+                err_msg=name,
+            )

@@ -2,10 +2,15 @@
 
 Replicated Gaussian state, a batch of B cameras (with their ground truths)
 sharded across the mesh's `data` axis. Each device renders and
-differentiates its own cameras; the mean over the batch is the only
-cross-device communication (an ICI psum XLA inserts from the sharding).
-One Adam step applies the averaged gradient — the B-camera generalization
-of the reference's single-camera iteration.
+differentiates its own cameras; the batch mean of the loss gradient and the
+batch sums of the densification statistics are the only cross-device
+communication (ICI psums XLA inserts from the shardings). One Adam step
+applies the averaged gradient — the B-camera generalization of the
+reference's single-camera iteration, with the full train_3dgs loss recipe
+(photometric + sensor-depth + normalized mono-depth + isotropic) and the
+reference's per-camera densification accounting: each camera contributes its
+own NDC screen-gradient norm and visibility to xyz_grad_accum/denom, exactly
+as B sequential reference iterations would.
 """
 
 from __future__ import annotations
@@ -19,13 +24,21 @@ from ..core.camera import CameraJax
 from ..ops.losses import l1_loss, ssim
 from ..ops.raster import RasterConfig
 from ..ops.raster import rasterize
-from .. train.state import AdamState, GaussianState, adam_update
-from ..train.step import OptParams, compute_lrs
+from ..train.state import AdamState, GaussianState, adam_update, expon_lr
+from ..train.step import (
+    OptParams,
+    _masked_mean,
+    _masked_minmax_normalize,
+    compute_lrs,
+)
 
 
 @partial(
     jax.jit,
-    static_argnames=("opt", "sh_degree", "cfg", "width", "height"),
+    static_argnames=(
+        "opt", "sh_degree", "cfg", "width", "height",
+        "has_depth_cam", "has_depth_est",
+    ),
 )
 def dp_train_step(
     state: GaussianState,
@@ -34,17 +47,28 @@ def dp_train_step(
     gt_images: jnp.ndarray,   # [B, 3, H, W]
     iteration: jnp.ndarray,
     bg: jnp.ndarray,          # [3]
+    gt_depth_cam: jnp.ndarray | None = None,   # [B, 1, H, W]
+    gt_depth_est: jnp.ndarray | None = None,   # [B, 1, H, W]
     *,
     opt: OptParams,
     sh_degree: int,
     cfg: RasterConfig,
     width: int,
     height: int,
+    has_depth_cam: bool = False,
+    has_depth_est: bool = False,
 ):
     alive = state.alive
+    n_alive = jnp.maximum(jnp.sum(alive.astype(jnp.float32)), 1.0)
     cap = state.capacity
+    after_warmup = (iteration > opt.depth_from_iter).astype(jnp.float32)
 
-    def per_camera_loss(params, deltas, cam_leaves, gt):
+    if gt_depth_cam is None:
+        gt_depth_cam = jnp.zeros_like(gt_images[:, :1])
+    if gt_depth_est is None:
+        gt_depth_est = jnp.zeros_like(gt_images[:, :1])
+
+    def per_camera_loss(params, deltas, cam_leaves, gt, d_cam, d_est):
         cam = CameraJax(
             viewmatrix=cam_leaves["viewmatrix"],
             projmatrix=cam_leaves["projmatrix"],
@@ -65,35 +89,74 @@ def dp_train_step(
             screen_deltas=deltas,
             alive=alive, cfg=cfg,
         )
-        ll1 = l1_loss(out.color, gt)
-        loss = (1.0 - opt.lambda_dssim) * ll1 + opt.lambda_dssim * (1.0 - ssim(out.color, gt))
+        image = out.color
+        rend_depth = out.depth_accum / jnp.where(out.alpha == 0.0, 1.0, out.alpha)
+        rend_depth = jnp.nan_to_num(rend_depth, nan=0.0, posinf=0.0, neginf=0.0)
+
+        ll1 = l1_loss(image, gt)
+        loss = (1.0 - opt.lambda_dssim) * ll1 + opt.lambda_dssim * (
+            1.0 - ssim(image, gt)
+        )
+        depth_loss = jnp.float32(0.0)
+        if has_depth_cam:
+            m = (d_cam > 0.3) & (d_cam < 7.0) & (rend_depth > 0.0)
+            depth_loss = depth_loss + opt.lambda_depth_sensor * _masked_mean(
+                jnp.abs(rend_depth - d_cam), m
+            )
+        if has_depth_est:
+            w = expon_lr(
+                iteration.astype(jnp.float32),
+                opt.dn_l1_weight_init, opt.dn_l1_weight_final, opt.iterations,
+            )
+            m = (rend_depth > 0.0) & (d_est > 0.0)
+            pn = _masked_minmax_normalize(d_est, m)
+            rn = _masked_minmax_normalize(rend_depth, m)
+            depth_loss = depth_loss + 10.0 * w * _masked_mean(jnp.abs(rn - pn), m)
+        loss = loss + depth_loss * after_warmup
         return loss, (out.radii, ll1)
 
-    def batch_loss(params, deltas):
+    def batch_loss(params, deltas_b):
         losses, (radii, ll1s) = jax.vmap(
-            lambda cam_leaves, gt: per_camera_loss(params, deltas, cam_leaves, gt)
-        )(cam_batch, gt_images)
-        return losses.mean(), (radii, ll1s.mean())
+            lambda deltas, cam_leaves, gt, dc, de: per_camera_loss(
+                params, deltas, cam_leaves, gt, dc, de
+            )
+        )(deltas_b, cam_batch, gt_images, gt_depth_cam, gt_depth_est)
+        loss = losses.mean()
+        # isotropic regularizer is per-state, not per-camera
+        if opt.lambda_isotropic > 0:
+            s = jnp.exp(params["scaling"])
+            iso = jnp.abs(s - s.mean(axis=1, keepdims=True))
+            iso = jnp.sum(jnp.where(alive[:, None], iso, 0.0)) / (n_alive * s.shape[1])
+            loss = loss + after_warmup * opt.lambda_isotropic * iso
+        return loss, (radii, ll1s.mean())
 
-    deltas0 = jnp.zeros((cap, 2), jnp.float32)
-    (loss, (radii_b, ll1)), (pgrads, dgrads) = jax.value_and_grad(
+    b = gt_images.shape[0]
+    # per-camera screen deltas so each camera's NDC gradient is separable
+    # (the reference's densification stat accumulates per camera)
+    deltas0 = jnp.zeros((b, cap, 2), jnp.float32)
+    (loss, (radii_b, ll1)), (pgrads, dgrads_b) = jax.value_and_grad(
         batch_loss, argnums=(0, 1), has_aux=True
     )(state.params, deltas0)
 
-    # densification stats: radii max over batch, grads summed over batch
-    radii = jnp.max(radii_b, axis=0)
-    visible = radii > 0
-    gnorm = jnp.linalg.norm(dgrads, axis=-1)
+    # densification stats, per camera then summed over the batch: each
+    # camera adds its own grad-norm and visibility count (matches B
+    # sequential reference iterations; mean-loss scaling undone by *B)
     track = iteration < opt.densify_until_iter
+    visible_b = radii_b > 0                                   # [B, cap]
+    gnorm_b = jnp.linalg.norm(dgrads_b, axis=-1) * b          # [B, cap]
+    gacc = jnp.sum(jnp.where(visible_b, gnorm_b, 0.0), axis=0)
+    dcount = jnp.sum(visible_b.astype(jnp.float32), axis=0)
+    radii_max = jnp.max(radii_b, axis=0)
+    any_visible = jnp.any(visible_b, axis=0)
     state = state._replace(
         max_radii2d=jnp.where(
-            track & visible,
-            jnp.maximum(state.max_radii2d, radii.astype(jnp.float32)),
+            track & any_visible,
+            jnp.maximum(state.max_radii2d, radii_max.astype(jnp.float32)),
             state.max_radii2d,
         ),
-        xyz_grad_accum=jnp.where(track & visible, state.xyz_grad_accum + gnorm,
+        xyz_grad_accum=jnp.where(track, state.xyz_grad_accum + gacc,
                                  state.xyz_grad_accum),
-        denom=jnp.where(track & visible, state.denom + 1.0, state.denom),
+        denom=jnp.where(track, state.denom + dcount, state.denom),
     )
 
     lrs = compute_lrs(opt, iteration)

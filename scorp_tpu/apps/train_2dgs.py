@@ -34,6 +34,7 @@ from ..train import (
 )
 from ..train.step2d import Opt2DParams, train_step_2d
 from ..utils.progress import ProgressMeter
+from ..viewer.network_gui import gui_tick, maybe_create_gui
 from .train_3dgs import CameraSampler, load_checkpoint, save_checkpoint
 
 
@@ -99,7 +100,7 @@ def evaluate2d(scene, state, sh_degree, bg, cfg, iteration, quiet=False):
 
 def training(dataset, opt: Optimization2DParams, pipe, testing_iterations,
              saving_iterations, checkpoint_iterations, checkpoint, debug_from,
-             quiet: bool = False):
+             quiet: bool = False, ip: str | None = None, port: int = 6009):
     if not dataset.model_path:
         dataset.model_path = os.path.join("./output/", str(uuid.uuid4())[:10])
     os.makedirs(dataset.model_path, exist_ok=True)
@@ -122,6 +123,10 @@ def training(dataset, opt: Optimization2DParams, pipe, testing_iterations,
     max_keys = 1 << min(22, max(14, (state.capacity * 16 - 1).bit_length()))
     cfg = RasterConfig(max_keys=max_keys, tile_list_len=1024, chunk=32)
 
+    # live SIBR viewer loop (the reference's only live call site,
+    # /root/reference/train_2dgs.py:209-230)
+    gui = maybe_create_gui(ip, port)
+
     sampler = CameraSampler(scene.get_train_cameras())
     rng = np.random.default_rng(0)
     rng_key = jax.random.PRNGKey(0)
@@ -133,6 +138,18 @@ def training(dataset, opt: Optimization2DParams, pipe, testing_iterations,
     for iteration in range(first_iter + 1, opt.iterations + 1):
         if iteration % 1000 == 0 and active_sh < dataset.sh_degree:
             active_sh += 1
+
+        if gui is not None:
+            def _gui_render(minicam, smod):
+                out = render2d(
+                    minicam.to_jax(), state, bg_fixed,
+                    scaling_modifier=float(smod), sh_degree=active_sh, cfg=cfg,
+                )
+                return np.asarray(out["render"])
+
+            gui_tick(gui, _gui_render, dataset.source_path, iteration,
+                     opt.iterations)
+
         cam, gt = sampler.next()
         bg = rng.uniform(size=3).astype(np.float32) if opt.random_background else bg_fixed
         h, w = gt.image.shape[1], gt.image.shape[2]
@@ -245,7 +262,7 @@ def main(argv=None):
         PipelineParams.extract(args),
         args.test_iterations, args.save_iterations,
         args.checkpoint_iterations, args.start_checkpoint, args.debug_from,
-        quiet=args.quiet,
+        quiet=args.quiet, ip=args.ip, port=args.port,
     )
     print("\nTraining complete.")
 

@@ -199,6 +199,8 @@ def training(
     checkpoint,
     debug_from,
     quiet: bool = False,
+    ip: str | None = None,
+    port: int = 6009,
 ):
     if not dataset.model_path:
         dataset.model_path = os.path.join("./output/", str(uuid.uuid4())[:10])
@@ -230,6 +232,12 @@ def training(
     max_keys = 1 << min(22, max(14, (state.capacity * 16 - 1).bit_length()))
     cfg = RasterConfig(max_keys=max_keys, tile_list_len=1024, chunk=64)
 
+    # live SIBR viewer loop; the reference ships these call sites
+    # commented out for 3DGS (train_3dgs.py:57-70) — opt-in via --gui
+    from ..viewer.network_gui import gui_tick, maybe_create_gui
+
+    gui = maybe_create_gui(ip, port)
+
     sampler = CameraSampler(scene.get_train_cameras())
     rng = np.random.default_rng(0)
     rng_key = jax.random.PRNGKey(0)
@@ -244,6 +252,17 @@ def training(
     for iteration in range(first_iter + 1, opt.iterations + 1):
         if iteration % 1000 == 0 and active_sh < dataset.sh_degree:
             active_sh += 1
+
+        if gui is not None:
+            def _gui_render(minicam, smod):
+                out = render(
+                    minicam.to_jax(), state, bg_fixed,
+                    scaling_modifier=float(smod), sh_degree=active_sh, cfg=cfg,
+                )
+                return np.asarray(out["render"])
+
+            gui_tick(gui, _gui_render, dataset.source_path, iteration,
+                     opt.iterations)
 
         cam, gt = sampler.next()
         bg = rng.uniform(size=3).astype(np.float32) if opt.random_background else bg_fixed
@@ -345,6 +364,9 @@ def main(argv=None):
     PipelineParams.add_to_parser(parser, "Pipeline Parameters")
     parser.add_argument("--ip", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=6009)
+    # the reference keeps the 3DGS viewer call sites commented out
+    # (train_3dgs.py:57-70); --gui opts into the same live loop
+    parser.add_argument("--gui", action="store_true", default=False)
     parser.add_argument("--debug_from", type=int, default=-1)
     parser.add_argument("--detect_anomaly", action="store_true", default=False)
     parser.add_argument("--test_iterations", nargs="+", type=int,
@@ -390,6 +412,8 @@ def main(argv=None):
             args.start_checkpoint,
             args.debug_from,
             quiet=args.quiet,
+            ip=args.ip if args.gui else None,
+            port=args.port,
         )
     print("\nTraining complete.")
 

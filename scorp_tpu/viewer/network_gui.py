@@ -4,9 +4,11 @@ Speaks the same wire protocol as the reference's network_gui
 (/root/reference/gs3dgs/gaussian_renderer/network_gui.py: length-prefixed
 JSON request carrying resolution/FoV/flags/row-major view and
 view-projection matrices with the y/z column sign flips, raw RGB bytes +
-length-prefixed verify string back). The call sites in the reference
-trainers are dormant (commented out in train_3dgs.py:57-70; live loop only
-in train_2dgs.py:208-230); our trainers expose the same optional hook.
+length-prefixed verify string back). Call sites mirror the reference:
+train_2dgs runs the live `gui_tick` loop every iteration (its only live
+call site is /root/reference/train_2dgs.py:209-230); train_3dgs ships the
+same hook dormant behind --gui (the reference's calls are commented out at
+train_3dgs.py:57-70).
 """
 
 from __future__ import annotations
@@ -97,3 +99,41 @@ class NetworkGUI:
         """[3,H,W] float render -> raw HWC u8 bytes for the viewer."""
         img = (np.clip(render, 0.0, 1.0) * 255).astype(np.uint8)
         return memoryview(np.ascontiguousarray(img.transpose(1, 2, 0))).tobytes()
+
+
+def gui_tick(gui: "NetworkGUI", render_fn, source_path: str,
+             iteration: int, max_iterations: int) -> None:
+    """One viewer service round, the reference's in-loop protocol
+    (/root/reference/train_2dgs.py:209-230): accept a pending connection,
+    then answer view requests until the viewer either releases training
+    (`train` with the run unfinished) or disconnects.
+
+    render_fn(minicam, scaling_modifier) -> [3, H, W] float image.
+    """
+    if gui.conn is None:
+        gui.try_connect()
+    while gui.conn is not None:
+        try:
+            net_image_bytes = None
+            (cam, do_training, _shs_python, _rot_scale_python,
+             keep_alive, scaling_mod) = gui.receive()
+            if cam is not None:
+                net_image_bytes = gui.encode_image(render_fn(cam, scaling_mod))
+            gui.send(net_image_bytes, source_path)
+            if do_training and (iteration < int(max_iterations) or not keep_alive):
+                break
+        except Exception:
+            gui.conn = None
+
+
+def maybe_create_gui(ip: str | None, port: int | None) -> "NetworkGUI | None":
+    """Bind the viewer socket; on failure (port taken) warn and disable."""
+    if ip is None:
+        return None
+    gui = NetworkGUI()
+    try:
+        gui.init(ip, int(port))
+        return gui
+    except OSError as e:
+        print(f"[network_gui] disabled: could not bind {ip}:{port} ({e})")
+        return None

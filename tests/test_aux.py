@@ -165,6 +165,72 @@ class TestNetworkGUI:
         gui.conn.close()
         gui.listener.close()
 
+    def test_gui_tick_serves_render_and_releases(self):
+        """Drive one full trainer-side service round through gui_tick: the
+        client requests a frame (train=1, keep_alive=1), gets the rendered
+        bytes + verify string, and the loop releases back to training."""
+        from scorp_tpu.viewer import NetworkGUI
+        from scorp_tpu.viewer.network_gui import gui_tick
+
+        gui = NetworkGUI()
+        gui.init("127.0.0.1", 0)
+        port = gui.listener.getsockname()[1]
+        w, h = 16, 8
+        payload = {
+            "resolution_x": w, "resolution_y": h, "train": 1,
+            "fov_y": 0.8, "fov_x": 0.9, "z_near": 0.01, "z_far": 100.0,
+            "shs_python": 0, "rot_scale_python": 0, "keep_alive": 1,
+            "scaling_modifier": 1.5,
+            "view_matrix": list(np.eye(4).flatten().astype(float)),
+            "view_projection_matrix": list(np.eye(4).flatten().astype(float)),
+        }
+        received = {}
+
+        def client():
+            s = socket.create_connection(("127.0.0.1", port), timeout=10)
+            msg = json.dumps(payload).encode()
+            s.sendall(len(msg).to_bytes(4, "little") + msg)
+            buf = b""
+            expected = w * h * 3 + 4 + 3
+            while len(buf) < expected:
+                chunk = s.recv(65536)
+                if not chunk:
+                    break
+                buf += chunk
+            received["buf"] = buf
+            s.close()
+
+        t = threading.Thread(target=client, daemon=True)
+        t.start()
+
+        calls = {}
+
+        def render_fn(minicam, smod):
+            calls["res"] = (minicam.image_width, minicam.image_height)
+            calls["smod"] = smod
+            img = np.zeros((3, h, w), np.float32)
+            img[0] = 1.0  # red frame
+            return img
+
+        import time
+        deadline = time.time() + 10
+        # iteration < max_iterations and train=1 -> tick must return
+        while time.time() < deadline:
+            gui_tick(gui, render_fn, "src", iteration=5, max_iterations=100)
+            if calls:
+                break
+            time.sleep(0.02)
+        t.join(timeout=10)
+        assert calls.get("res") == (w, h)
+        assert calls.get("smod") == 1.5
+        buf = received["buf"]
+        assert len(buf) == w * h * 3 + 4 + 3
+        img = np.frombuffer(buf[: w * h * 3], np.uint8).reshape(h, w, 3)
+        assert img[..., 0].min() == 255 and img[..., 1].max() == 0
+        assert buf[w * h * 3:] == (3).to_bytes(4, "little") + b"src"
+        gui.conn.close()
+        gui.listener.close()
+
 
 class TestOfflineSegmentation:
     def test_maskdir_backend(self, tmp_path):

@@ -4,9 +4,10 @@ ground-truth image directories.
 The reference implements PSNR/MSE (gs3dgs/utils/image_utils.py:15-20) and
 SSIM (loss_utils.py:43-73) and lists LPIPS parity in its benchmark gate
 without an in-repo LPIPS call (SURVEY.md §5.5) — this harness closes that
-gap. LPIPS uses the `lpips` torch package or a torchvision-VGG fallback when
-available; otherwise it is reported as null (no network egress to fetch
-weights here).
+gap. LPIPS uses the `lpips` torch package when available; otherwise it
+falls back to `ops.perceptual.lpips_proxy` — a deterministic random-feature
+perceptual distance (reported as `lpips_proxy`, not `lpips`: useful for
+relative comparisons, not calibrated to the published LPIPS scale).
 
 Usage: python -m scorp_tpu.apps.metrics --pred <dir> --gt <dir> [--use_alpha]
 """
@@ -41,7 +42,7 @@ def _load(path: str, size=None) -> tuple[np.ndarray, np.ndarray | None]:
 class LPIPSBackend:
     def __init__(self):
         self._fn = None
-        self.available = False
+        self.name = None
         try:
             import lpips  # type: ignore
             import torch
@@ -55,9 +56,19 @@ class LPIPSBackend:
                     return float(net(ta, tb).item())
 
             self._fn = run
-            self.available = True
+            self.name = "lpips"
         except Exception:
-            pass
+            from ..ops.perceptual import lpips_proxy
+
+            def run(a, b):
+                return float(lpips_proxy(jnp.asarray(a), jnp.asarray(b)))
+
+            self._fn = run
+            self.name = "lpips_proxy"
+
+    @property
+    def available(self):
+        return self._fn is not None
 
     def __call__(self, a: np.ndarray, b: np.ndarray):
         if not self.available:
@@ -97,8 +108,10 @@ def evaluate_dirs(pred_dir: str, gt_dir: str, use_alpha: bool = False) -> dict:
         "n_images": len(psnrs),
         "psnr": float(np.mean(psnrs)) if psnrs else None,
         "ssim": float(np.mean(ssims)) if ssims else None,
-        "lpips": float(np.mean(lpipss)) if lpipss else None,
-        "lpips_backend": lp.available,
+        # keyed by backend: calibrated `lpips` or the bundled random-feature
+        # `lpips_proxy` stand-in — never conflated
+        (lp.name or "lpips"): float(np.mean(lpipss)) if lpipss else None,
+        "lpips_backend": lp.name,
     }
     return result
 

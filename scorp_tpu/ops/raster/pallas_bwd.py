@@ -54,6 +54,24 @@ def _rev_scan_lanes(x: jnp.ndarray, chunk: int, op, fill: float) -> jnp.ndarray:
     return x
 
 
+def _suffix_tri(chunk: int) -> jnp.ndarray:
+    """U[j, i] = 1 iff j >= i: x @ U = inclusive suffix sums along lanes."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    return (j >= i).astype(jnp.float32)
+
+
+def _rev_cumsum_mxu(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
+    """Suffix-inclusive sum along lanes as one MXU contraction (exact f32;
+    ~2x cheaper than the log2(C)-step Hillis-Steele on the VPU)."""
+    return jax.lax.dot_general(
+        x, tri,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _bwd_kernel(
     # scalar prefetch
     tile_start_ref,   # [T] i32
@@ -84,6 +102,7 @@ def _bwd_kernel(
     cbase = chunk_base_ref[t]
     base = (start // 128) * 128
     head = start - base
+    tri = _suffix_tri(chunk)
 
     p = TILE * TILE
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
@@ -152,7 +171,7 @@ def _bwd_kernel(
         u = u + g_d_col * depth
 
         wu = w * u
-        revsum_incl = _rev_scan_lanes(wu, chunk, jnp.add, 0.0)
+        revsum_incl = _rev_cumsum_mxu(wu, tri)
         s_i = s_run + revsum_incl - wu                             # suffix j>i
 
         one_minus = jnp.where(amask, 1.0 - alpha_eff, 1.0)

@@ -40,7 +40,7 @@ from .pallas_fwd import (
     _masked_cumprod_lanes,
     tiles_cp_to_image,
 )
-from .pallas_bwd import _rev_scan_lanes
+from .pallas_bwd import _rev_cumsum_mxu, _rev_scan_lanes, _suffix_tri
 from .pallas_surfel import SURFEL_ROWS, _masked_cumsum_lanes
 from .surfel import (
     ALPHA_MAX,
@@ -259,6 +259,7 @@ def _surfel_bwd_kernel(
     start = tile_start_ref[t]
     count = tile_count_ref[t]
     cbase = start // chunk
+    tri = _suffix_tri(chunk)
 
     p = TILE * TILE
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
@@ -344,7 +345,7 @@ def _surfel_bwd_kernel(
         uu = uu + g_d_col * z + g_dist * psi
 
         wu = w * uu
-        revsum_incl = _rev_scan_lanes(wu, chunk, jnp.add, 0.0)
+        revsum_incl = _rev_cumsum_mxu(wu, tri)
         s_i = s_run + revsum_incl - wu
 
         one_minus = jnp.where(amask, 1.0 - alpha_eff, 1.0)

@@ -182,8 +182,10 @@ def main():
     from scorp_tpu.ops.raster import RasterConfig
 
     scene = build_scene()
+    # max_keys covers the pre-cull expansion (1.72M keys on this scene);
+    # stream_keys the post-ellipse-cull sorted stream (1.46M kept)
     cfg = RasterConfig(max_keys=1 << 21, tile_list_len=4096, chunk=64,
-                       pallas_chunk=128)
+                       pallas_chunk=128, stream_keys=(1 << 20) + (1 << 19))
     bench_render(*scene, cfg)
     bench_train_step(*scene, cfg)
     bench_kernel_parity()

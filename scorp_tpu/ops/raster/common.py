@@ -53,6 +53,16 @@ class RasterConfig(NamedTuple):
     tile_list_len: int = 1024     # per-tile dense list capacity (XLA path)
     chunk: int = 32               # gaussians blended per inner step (XLA path)
     pallas_chunk: int = 512       # gaussians per VMEM stage (Pallas path)
+    # capacity of the post-cull sorted stream (0 = max_keys). The exact
+    # ellipse-tile cull drops 15-50% of expanded keys, so the sorted slice —
+    # and everything downstream: the stream gather, the compositor chunks,
+    # the backward scatter — can run at a smaller static size than the
+    # pre-cull expansion buffer.
+    stream_keys: int = 0
+
+    @property
+    def stream_cap(self) -> int:
+        return self.stream_keys or self.max_keys
 
 
 class Preprocessed(NamedTuple):
@@ -77,7 +87,10 @@ class StreamBins(NamedTuple):
     """Depth-ordered per-tile key stream for the Pallas compositor.
 
     `data` rows: 0-1 xy, 2-4 conic (A,B,C), 5-7 color, 8 opacity, 9 depth,
-    10-15 zero padding (sublane tiling wants a multiple of 8 rows).
+    10-15 zero padding (sublane tiling wants a multiple of 8 rows; Mosaic
+    VMEM tiling also rules out a row-major [K, 16] layout — 16-lane minor
+    slices can't be tiled — and the narrow 11-column gather table is what
+    keeps the per-key gather on the VMEM fast path).
     """
 
     data: jnp.ndarray         # [16, K] f32, grouped by tile, depth-ascending
@@ -313,16 +326,44 @@ def preprocess(
     return Preprocessed(xy, depth, conic, color, opacity, radii, rect, valid)
 
 
-def _expand_keys_core(prep: Preprocessed, width: int, height: int, k_cap: int):
-    """Depth-presorted key expansion via scatter + prefix ops.
+def _bf16_bits(x: jnp.ndarray) -> jnp.ndarray:
+    """f32 -> bf16 bit pattern as i32 in [0, 65535]."""
+    b = jax.lax.bitcast_convert_type(x.astype(jnp.bfloat16), jnp.uint16)
+    return b.astype(jnp.int32)
+
+
+def _bits_bf16(b: jnp.ndarray) -> jnp.ndarray:
+    """i32 holding a bf16 bit pattern -> f32 value."""
+    return jax.lax.bitcast_convert_type(
+        b.astype(jnp.uint16), jnp.bfloat16
+    ).astype(jnp.float32)
+
+
+def _expand_keys_core(
+    prep: Preprocessed, width: int, height: int, k_cap: int, cull: bool = False
+):
+    """Depth-presorted key expansion via ONE scatter + prefix sums.
 
     Returns (tile [K], g_of_k [K] position in depth-sorted order, order [N],
-    total). No binary searches and no per-key gathers: the source gaussian
-    of each key slot comes from a marker cumsum, its start offset from a
-    scatter+cummax over the monotone starts, and its packed tile rect from a
-    scatter of integer *differences* + cumsum (exact under i32 wraparound —
-    the depth sort puts all valid gaussians in a contiguous prefix, so the
-    telescoping chain is unbroken).
+    total, ktx, kty, in_range, kept). No binary searches and no per-key
+    gathers: every per-key quantity — the source gaussian (marker cumsum),
+    its start offset, its packed tile rect, and (with cull=True) its packed
+    screen geometry — rides a single scatter of per-gaussian integer
+    *differences* followed by cumsums (exact under i32 wraparound: the depth
+    sort puts all valid gaussians in a contiguous prefix, so the telescoping
+    chain is unbroken).
+
+    cull=True additionally applies the exact alpha>=1/255 ellipse vs
+    16x16-tile overlap test per key: the binning rect is the tight AABB of
+    the q(d) <= t2 ellipse (q = A dx^2 + 2B dx dy + C dy^2 = -2*power), but
+    an AABB of a rotated anisotropic ellipse is mostly empty — the exact
+    test drops 15-50% of keys. A culled key has alpha < 1/255 at every pixel
+    of its tile, so the compositor (and the reference renderCUDA per-pixel
+    alpha test) would skip it anyway: outputs and gradients are unchanged.
+    The geometry rides the expansion as packed integers (center fixed-point
+    1/32 px rect-relative, conic/threshold bf16), and the keep test inflates
+    the threshold by the packing error, so it never drops a key the f32
+    compositor would keep.
     """
     tiles_x, tiles_y = grid_dims(width, height)
     num_tiles = tiles_x * tiles_y
@@ -340,16 +381,50 @@ def _expand_keys_core(prep: Preprocessed, width: int, height: int, k_cap: int):
 
     has_keys = counts > 0
     pos = jnp.where(has_keys, starts, k_cap)  # k_cap -> dropped by scatter
-    marker = jnp.zeros(k_cap, jnp.int32).at[pos].add(1, mode="drop")
-    g_of_k = jnp.cumsum(marker) - 1  # position in depth-sorted order
-    start_of_k = jax.lax.cummax(
-        jnp.zeros(k_cap, jnp.int32).at[pos].max(starts.astype(jnp.int32), mode="drop")
+
+    def _diff(v):
+        return v - jnp.concatenate([jnp.zeros(1, jnp.int32), v[:-1]])
+
+    packed = (x0 << 20) | (y0 << 10) | span
+    cols = [jnp.ones_like(packed), _diff(starts.astype(jnp.int32)), _diff(packed)]
+    if cull:
+        # per-gaussian screen geometry, packed to 3 i32: center as rect-
+        # relative fixed point (1/32 px), conic A/B/C + alpha threshold bf16
+        geo = gather_rows_u16(
+            jax.lax.stop_gradient(
+                jnp.concatenate(
+                    [prep.xy, prep.conic, prep.opacity[:, None]], axis=1
+                )
+            ),
+            order,
+        )
+        gx_fp = jnp.clip(
+            jnp.round((geo[:, 0] - x0.astype(jnp.float32) * TILE) * 32.0),
+            0, 65535,
+        ).astype(jnp.int32)
+        gy_fp = jnp.clip(
+            jnp.round((geo[:, 1] - y0.astype(jnp.float32) * TILE) * 32.0),
+            0, 65535,
+        ).astype(jnp.int32)
+        t2 = jnp.maximum(
+            2.0 * jnp.log(jnp.maximum(geo[:, 5], 1e-12) * 255.0), 0.0
+        )
+        cols += [
+            _diff((gx_fp << 16) | gy_fp),
+            _diff((_bf16_bits(geo[:, 2]) << 16) | _bf16_bits(geo[:, 3])),
+            _diff((_bf16_bits(geo[:, 4]) << 16) | _bf16_bits(t2)),
+        ]
+    upd = jnp.stack(cols, axis=1)  # [N, 3|6]
+    buf = (
+        jnp.zeros((k_cap, upd.shape[1]), jnp.int32)
+        .at[pos]
+        .add(upd, mode="drop")
     )
-    packed = (x0.astype(jnp.int32) << 20) | (y0.astype(jnp.int32) << 10) | span.astype(jnp.int32)
-    packed_diff = packed - jnp.concatenate([jnp.zeros(1, jnp.int32), packed[:-1]])
-    packed_of_k = jnp.cumsum(
-        jnp.zeros(k_cap, jnp.int32).at[pos].add(packed_diff, mode="drop")
-    )
+    cum = jnp.cumsum(buf.T, axis=1)  # [3|6, K] — prefix along lanes
+
+    g_of_k = cum[0] - 1  # position in depth-sorted order
+    start_of_k = cum[1]
+    packed_of_k = cum[2]
 
     ks = jax.lax.broadcasted_iota(jnp.int32, (k_cap, 1), 0)[:, 0]
     local = ks - start_of_k
@@ -360,8 +435,44 @@ def _expand_keys_core(prep: Preprocessed, width: int, height: int, k_cap: int):
     kty = ky0 + local // kspan
     tile = kty * tiles_x + ktx
     in_range = (ks < jnp.minimum(total, k_cap)) & (g_of_k >= 0)
+
+    if cull:
+        gx = ((cum[3] >> 16) & 0xFFFF).astype(jnp.float32) * (1.0 / 32.0)
+        gy = (cum[3] & 0xFFFF).astype(jnp.float32) * (1.0 / 32.0)
+        a = _bits_bf16(cum[4] >> 16)
+        b = _bits_bf16(cum[4])
+        c = _bits_bf16(cum[5] >> 16)
+        t2k = _bits_bf16(cum[5])
+        # tile pixel box relative to the rect origin (where gx/gy live)
+        fx = ((ktx - kx0) * TILE).astype(jnp.float32)
+        fy = ((kty - ky0) * TILE).astype(jnp.float32)
+        dxlo, dxhi = fx - gx, fx + (TILE - 1) - gx
+        dylo, dyhi = fy - gy, fy + (TILE - 1) - gy
+        inside = (dxlo <= 0.0) & (0.0 <= dxhi) & (dylo <= 0.0) & (0.0 <= dyhi)
+        sa = jnp.maximum(a, 1e-12)
+        sc = jnp.maximum(c, 1e-12)
+
+        def q_edge_x(e):
+            dy = jnp.clip(-b * e / sc, dylo, dyhi)
+            return a * e * e + 2.0 * b * e * dy + c * dy * dy
+
+        def q_edge_y(f):
+            dx = jnp.clip(-b * f / sa, dxlo, dxhi)
+            return c * f * f + 2.0 * b * f * dx + a * dx * dx
+
+        q_min = jnp.minimum(
+            jnp.minimum(q_edge_x(dxlo), q_edge_x(dxhi)),
+            jnp.minimum(q_edge_y(dylo), q_edge_y(dyhi)),
+        )
+        q_min = jnp.where(inside, 0.0, q_min)
+        pd = (a > 0.0) & (c > 0.0) & (a * c - b * b > 0.0)
+        # tolerance covers bf16 conic (0.8% rel) + 1/32 px center quantization
+        keep = ~pd | (q_min <= t2k * 1.02 + 0.6)
+        in_range = in_range & keep
+
     tile = jnp.where(in_range, tile, num_tiles)
-    return tile, g_of_k, order, total, ktx, kty, in_range
+    kept = jnp.sum(in_range.astype(jnp.int32))
+    return tile, g_of_k, order, total, ktx, kty, in_range, kept
 
 
 def _expand_keys(prep: Preprocessed, width: int, height: int, k_cap: int):
@@ -369,53 +480,6 @@ def _expand_keys(prep: Preprocessed, width: int, height: int, k_cap: int):
     tile, g_of_k, order, total, *_ = _expand_keys_core(prep, width, height, k_cap)
     sorted_tile, sorted_pos = jax.lax.sort((tile, g_of_k), num_keys=1, is_stable=True)
     return sorted_tile, sorted_pos, order, total
-
-
-def _ellipse_tile_keep(table_o, g_of_k, ktx, kty):
-    """Exact alpha>=1/255 ellipse vs 16x16-tile overlap test per key.
-
-    The binning rect is the tight AABB of the q(d) <= t2 ellipse
-    (q = A dx^2 + 2B dx dy + C dy^2 = -2*power), but an AABB of a rotated
-    anisotropic ellipse is mostly empty — the exact test drops 25-50% of
-    keys. A culled key has alpha < 1/255 at every pixel of the tile, so the
-    compositor (and the reference renderCUDA per-pixel alpha test) would
-    skip it anyway: outputs and gradients are unchanged.
-
-    q_min over the pixel box is 0 if the center is inside, else the min
-    over the 4 edges (1D quadratic with clamped minimizer) — exact for
-    positive-definite q; non-PD conics are conservatively kept.
-    """
-    geo = fast_gather_rows(
-        jnp.concatenate([table_o[:, 0:5], table_o[:, 8:9]], axis=1), g_of_k
-    )  # [K, 6]: gx, gy, A, B, C, opacity
-    gx, gy = geo[:, 0], geo[:, 1]
-    a, b, c = geo[:, 2], geo[:, 3], geo[:, 4]
-    t2 = jnp.maximum(2.0 * jnp.log(jnp.maximum(geo[:, 5], 1e-12) * 255.0), 0.0)
-
-    fx = ktx.astype(jnp.float32) * TILE
-    fy = kty.astype(jnp.float32) * TILE
-    dxlo, dxhi = fx - gx, fx + (TILE - 1) - gx
-    dylo, dyhi = fy - gy, fy + (TILE - 1) - gy
-    inside = (dxlo <= 0.0) & (0.0 <= dxhi) & (dylo <= 0.0) & (0.0 <= dyhi)
-
-    sa = jnp.maximum(a, 1e-12)
-    sc = jnp.maximum(c, 1e-12)
-
-    def q_edge_x(e):
-        dy = jnp.clip(-b * e / sc, dylo, dyhi)
-        return a * e * e + 2.0 * b * e * dy + c * dy * dy
-
-    def q_edge_y(f):
-        dx = jnp.clip(-b * f / sa, dxlo, dxhi)
-        return c * f * f + 2.0 * b * f * dx + a * dx * dx
-
-    q_min = jnp.minimum(
-        jnp.minimum(q_edge_x(dxlo), q_edge_x(dxhi)),
-        jnp.minimum(q_edge_y(dylo), q_edge_y(dyhi)),
-    )
-    q_min = jnp.where(inside, 0.0, q_min)
-    pd = (a > 0.0) & (c > 0.0) & (a * c - b * b > 0.0)
-    return ~pd | (q_min <= t2 * (1.0 + 1e-5) + 1e-6)
 
 
 def _tile_bounds(sorted_tile: jnp.ndarray, num_tiles: int):
@@ -436,9 +500,10 @@ def bin_stream(prep: Preprocessed, width: int, height: int, cfg: RasterConfig) -
     tiles_x, tiles_y = grid_dims(width, height)
     num_tiles = tiles_x * tiles_y
     k_cap = cfg.max_keys
+    k2 = cfg.stream_cap
 
-    tile, g_of_k, order, total, ktx, kty, _ = _expand_keys_core(
-        prep, width, height, k_cap
+    tile, g_of_k, order, total, ktx, kty, _, kept = _expand_keys_core(
+        prep, width, height, k_cap, cull=True
     )
 
     # depth-ordered per-gaussian table [N, 11]: 10 data columns + source id
@@ -460,26 +525,29 @@ def bin_stream(prep: Preprocessed, width: int, height: int, cfg: RasterConfig) -
         order,
     )
 
-    # NOTE: _ellipse_tile_keep culls ~15% of keys on the bench scene but its
-    # standalone geometry gather costs more than the composite saves — it is
-    # only a net win fused into a binning kernel where geometry is already
-    # in VMEM (measured 51.2 -> 56.8 ms as an XLA pass; left unwired).
+    # culled + out-of-range keys carry the num_tiles sentinel, so the stable
+    # tile sort moves them past every live key: slicing the sorted stream to
+    # the (smaller) post-cull capacity is the compaction, for free
     sorted_tile, g_sorted = jax.lax.sort(
         (tile, jnp.maximum(g_of_k, 0)), num_keys=1, is_stable=True
     )
-    key_rows = fast_gather_rows(table, g_sorted)  # [K, 11] the one big gather
+    sorted_tile = sorted_tile[:k2]
+    g_sorted = g_sorted[:k2]
+    key_rows = fast_gather_rows(table, g_sorted)  # [K2, 11] the one big gather
     sorted_gidx = jax.lax.bitcast_convert_type(key_rows[:, DATA_ROWS], jnp.int32)
 
     data = jnp.concatenate(
         [
             key_rows[:, :DATA_ROWS].T,
-            jnp.zeros((DATA_ROWS_PADDED - DATA_ROWS, k_cap), jnp.float32),
+            jnp.zeros((DATA_ROWS_PADDED - DATA_ROWS, k2), jnp.float32),
         ],
         axis=0,
-    )  # [16, K]
+    )  # [16, K2]
 
     tile_start, tile_count = _tile_bounds(sorted_tile, num_tiles)
-    dropped = jnp.maximum(total - k_cap, 0).astype(jnp.int32)
+    dropped = (
+        jnp.maximum(total - k_cap, 0) + jnp.maximum(kept - k2, 0)
+    ).astype(jnp.int32)
     return StreamBins(data, sorted_gidx, tile_start, tile_count, dropped)
 
 

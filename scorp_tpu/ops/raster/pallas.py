@@ -59,8 +59,9 @@ def _make_composite(width: int, height: int, cfg: RasterConfig, interpret: bool)
     num_tiles = tiles_x * tiles_y
     chunk = cfg.pallas_chunk
     # aligned stream capacity: every tile's segment is padded to a chunk
-    # multiple, so the worst-case overhead is one chunk per tile
-    k_al = cfg.max_keys + num_tiles * chunk
+    # multiple, so the worst-case overhead is one chunk per tile. The base
+    # is the post-cull stream capacity, not the expansion capacity.
+    k_al = cfg.stream_cap + num_tiles * chunk
 
     def _build_stream(table, g_pad):
         key_rows = gather_rows_u16(table, g_pad)  # [K_al, 11]
@@ -143,18 +144,24 @@ def _aligned_routing(prep_sg, width, height, cfg):
 
     Returns (g_pad [K_al] clamped gather ids, g_drop [K_al] scatter ids with
     out-of-segment slots set to a drop sentinel, aligned_start [T],
-    tile_count [T], total).
+    tile_count [T], dropped key count).
     """
     tiles_x, tiles_y = grid_dims(width, height)
     num_tiles = tiles_x * tiles_y
     chunk = cfg.pallas_chunk
     k = cfg.max_keys
-    k_al = k + num_tiles * chunk
+    k2 = cfg.stream_cap
+    k_al = k2 + num_tiles * chunk
 
-    tile, g_of_k, order, total, *_ = _expand_keys_core(prep_sg, width, height, k)
+    tile, g_of_k, order, total, _, _, _, kept = _expand_keys_core(
+        prep_sg, width, height, k, cull=True
+    )
     sorted_tile, g_sorted = jax.lax.sort(
         (tile, jnp.maximum(g_of_k, 0)), num_keys=1, is_stable=True
     )
+    # culled/out-of-range keys sorted past the end; the slice compacts
+    sorted_tile = sorted_tile[:k2]
+    g_sorted = g_sorted[:k2]
     tile_start, tile_count = _tile_bounds(sorted_tile, num_tiles)
 
     aligned_count = -(-tile_count // chunk) * chunk
@@ -178,12 +185,13 @@ def _aligned_routing(prep_sg, width, height, cfg):
     # [K, 2] source (g duplicated): a [K, 1] source lowers to a tiny-row
     # column-major gather that is ~4x slower on TPU
     gsrc = _f32(jnp.stack([g_sorted, g_sorted], axis=1))
-    g16 = gather_rows_u16(gsrc, jnp.clip(j_of_p, 0, k - 1))
+    g16 = gather_rows_u16(gsrc, jnp.clip(j_of_p, 0, k2 - 1))
     g_j = _i32(g16[:, 0])
     n_rows = prep_sg.xy.shape[0]
     g_pad = jnp.where(valid_p, g_j, 0)
     g_drop = jnp.where(valid_p, g_j, n_rows)  # sentinel -> scatter drop
-    return g_pad, g_drop, aligned_start, tile_count, total, order
+    dropped = jnp.maximum(total - k, 0) + jnp.maximum(kept - k2, 0)
+    return g_pad, g_drop, aligned_start, tile_count, dropped, order
 
 
 def rasterize_pallas(
@@ -215,7 +223,7 @@ def rasterize_pallas(
     )
     # integer routing (no gradients)
     prep_sg = jax.lax.stop_gradient(prep)
-    g_pad, g_drop, aligned_start, tile_count, total, order = _aligned_routing(
+    g_pad, g_drop, aligned_start, tile_count, dropped, order = _aligned_routing(
         prep_sg, w, h, cfg
     )
 
@@ -242,5 +250,5 @@ def rasterize_pallas(
     color = tiles_cp_to_image(color_t, w, h)
     depth = tiles_cp_to_image(depth_t, w, h)
     alpha = tiles_cp_to_image(alpha_t, w, h)
-    num_dropped = jnp.maximum(total - cfg.max_keys, 0).astype(jnp.int32)
+    num_dropped = dropped.astype(jnp.int32)
     return RasterOutput(color, depth, alpha, prep.radii, num_dropped, jnp.int32(0))

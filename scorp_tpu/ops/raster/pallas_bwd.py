@@ -5,31 +5,41 @@ CUDA backward's structure (walk each tile's stream back-to-front,
 reconstruct transmittance by progressive division, accumulate suffix sums)
 but vectorized over [P pixels, C keys] blocks:
 
+  * grid = one program per GROUP of tiles (same amortization as the
+    forward kernel: per-program fixed cost dominates one-chunk tiles).
+    The last chunk of every tile in the group is prefetched up front;
+    within a tile the reverse walk double-buffers reads and pipelines the
+    per-chunk gradient write-out (a write started for chunk ci is waited
+    only when its VMEM slot is reused, possibly in the next tile);
   * forward residuals are the final transmittance (1 - alpha output) and
     `n_contrib` (number of stream positions before termination) — inclusion
     in backward is the prefix test kpos < n_contrib, exactly CUDA's
     last_contributor logic;
-  * within a chunk, T_before_i = T_run / ∏_{j>=i}(1-α_j) comes from one
-    reverse Hillis-Steele cumprod (numerically safe: the termination rule
-    keeps every running product >= T_EPS), and the suffix sums
-    S_i = Σ_{j>i} w_j u_j from a reverse cumsum;
+  * alpha is recomputed exactly as the forward computed it (quadratic-basis
+    MXU exponent; see pallas_fwd), so the two kernels agree bit-for-bit on
+    the alpha-threshold tests;
+  * within a chunk, T_before_i = T_run / prod_{j>=i}(1-a_j) is reconstructed
+    in log space (one triangular MXU contraction + exp; numerically safe:
+    the termination rule keeps every running product >= T_EPS, and
+    alpha <= 0.99 bounds each log term by 4.6), and the suffix sums
+    S_i = sum_{j>i} w_j u_j are one more MXU contraction;
   * per-key gradients are reduced over pixels (MXU contractions for
     color/depth, sublane reductions for the geometry terms) and written to
     a chunk-aligned padded buffer — each tile owns disjoint, chunk-aligned
     output segments, so no atomics and no cross-program races;
   * gradient formulas match the CUDA backward, including its treatment of
-    the 0.99 alpha clamp (gradients propagate through opa·exp(power)
+    the 0.99 alpha clamp (gradients propagate through opa*exp(power)
     unconditionally) and the exclusion of skipped/post-termination keys.
 
-The mapping back to per-gaussian gradients happens outside: a gather from
-the padded layout to the key stream, then JAX autodiff of bin_stream's
-sort/gather performs the segment reduction onto gaussians.
+The mapping back to per-gaussian gradients happens outside: the aligned
+stream makes output chunk slots coincide with stream positions, so one
+unsorted scatter-add (sentinel-dropped padding) reduces them onto
+gaussians (see pallas.py).
 """
 
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -37,13 +47,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .common import TILE, RasterConfig, grid_dims
+from .pallas_fwd import GROUP, MXU_POWER, _mm, _pixel_basis, _power_coefs
 
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 
 
 def _rev_scan_lanes(x: jnp.ndarray, chunk: int, op, fill: float) -> jnp.ndarray:
-    """Reverse (suffix) inclusive scan along lanes via Hillis-Steele."""
+    """Reverse (suffix) inclusive scan along lanes via Hillis-Steele.
+
+    (Kept for the surfel kernels; the 3DGS backward now reconstructs
+    transmittance in log space via one MXU triangular contraction.)
+    """
+    import math
+
     p, c = x.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (p, c), 1)
     steps = int(math.log2(chunk))
@@ -52,13 +69,6 @@ def _rev_scan_lanes(x: jnp.ndarray, chunk: int, op, fill: float) -> jnp.ndarray:
         rolled = pltpu.roll(x, chunk - s, 1)  # element i takes value from i+s
         x = op(x, jnp.where(col < c - s, rolled, fill))
     return x
-
-
-def _suffix_tri(chunk: int) -> jnp.ndarray:
-    """U[j, i] = 1 iff j >= i: x @ U = inclusive suffix sums along lanes."""
-    j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-    i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-    return (j >= i).astype(jnp.float32)
 
 
 def _rev_cumsum_mxu(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
@@ -72,162 +82,232 @@ def _rev_cumsum_mxu(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _suffix_tri(chunk: int) -> jnp.ndarray:
+    """U[j, i] = 1 iff j >= i: x @ U = inclusive suffix sums along lanes."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    return (j >= i).astype(jnp.float32)
+
+
 def _bwd_kernel(
     # scalar prefetch
-    tile_start_ref,   # [T] i32
-    tile_count_ref,   # [T] i32
-    chunk_base_ref,   # [T] i32 (output segment offsets, in chunks)
+    tile_start_ref,   # [T_pad] i32
+    tile_count_ref,   # [T_pad] i32
+    chunk_base_ref,   # [T_pad] i32 (output segment offsets, in chunks)
     bg_ref,           # [4] f32
     # inputs
     data_ref,         # [16, K+pad] f32 ANY
-    g_color_ref,      # [1, 3, P] VMEM block
-    g_depth_ref,      # [1, 1, P]
-    g_alpha_ref,      # [1, 1, P]
-    alpha_out_ref,    # [1, 1, P] forward alpha (T_final = 1 - alpha)
-    ncontrib_ref,     # [1, 1, P] i32
+    g_color_ref,      # [G, 3, P] VMEM block
+    g_depth_ref,      # [G, 1, P]
+    g_alpha_ref,      # [G, 1, P]
+    alpha_out_ref,    # [G, 1, P] forward alpha (T_final = 1 - alpha)
+    ncontrib_ref,     # [G, 1, P] i32
     # outputs
     out_grads_ref,    # [K_pad/C, 16, C] f32 ANY (one block per chunk slot)
     # scratch
-    chunk_vmem,       # [16, C]
-    grad_vmem,        # [16, C]
-    sem_in,
-    sem_out,
+    chunk_vmem,       # [G+2, 16, C]
+    grad_vmem,        # [2, 16, C]
+    sem_in,           # [G+2]
+    sem_out,          # [2]
     *,
     tiles_x: int,
     chunk: int,
+    group: int,
 ):
-    t = pl.program_id(0)
-    start = tile_start_ref[t]
-    count = tile_count_ref[t]
-    cbase = chunk_base_ref[t]
-    base = (start // 128) * 128
-    head = start - base
-    tri = _suffix_tri(chunk)
-
+    pid = pl.program_id(0)
     p = TILE * TILE
+    tri = _suffix_tri(chunk)
+    basis = _pixel_basis(p) if MXU_POWER else None
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-    tx = (t % tiles_x).astype(jnp.float32)
-    ty = (t // tiles_x).astype(jnp.float32)
     pix_row = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    pix_x = (tx * TILE) + (pix_row % TILE).astype(jnp.float32)   # [p,1]
-    pix_y = (ty * TILE) + (pix_row // TILE).astype(jnp.float32)
-
-    g_c = g_color_ref[0]                       # [3, P]
-    g_d = g_depth_ref[0]                       # [1, P]
-    g_a = g_alpha_ref[0]                       # [1, P]
-    t_final_row = 1.0 - alpha_out_ref[0]       # [1, P]
-    n_con = ncontrib_ref[0]                    # [1, P] i32
-
-    # dL/dT_final = bg . g_color - g_alpha, folded with T_final once
+    px_loc = (pix_row % TILE).astype(jnp.float32)              # [p,1]
+    py_loc = (pix_row // TILE).astype(jnp.float32)
     bg = bg_ref
-    g_t = bg[0] * g_c[0:1, :] + bg[1] * g_c[1:2, :] + bg[2] * g_c[2:3, :] - g_a
-    gt_term = (t_final_row * g_t).reshape(p, 1)   # [p,1]
-    g_d_col = g_d.reshape(p, 1)
-    n_con_col = n_con.reshape(p, 1)
 
-    max_inc = jnp.minimum(jnp.max(n_con), count)
-    hi = (head + max_inc + chunk - 1) // chunk  # chunks overlapping included keys
-
-    def body(carry):
-        ci, t_run, s_run = carry
+    def _copy_in(start, ci, slot):
+        base = (start // 128) * 128
         offset = pl.multiple_of(base + ci * chunk, 128)
-        copy = pltpu.make_async_copy(data_ref.at[:, pl.ds(offset, chunk)], chunk_vmem, sem_in)
-        copy.start()
-        copy.wait()
-
-        gx = chunk_vmem[0:1, :]
-        gy = chunk_vmem[1:2, :]
-        ca = chunk_vmem[2:3, :]
-        cb = chunk_vmem[3:4, :]
-        cc = chunk_vmem[4:5, :]
-        colors = chunk_vmem[5:8, :]
-        opa = chunk_vmem[8:9, :]
-        depth = chunk_vmem[9:10, :]
-
-        dx = gx - pix_x                  # [p, C]
-        dy = gy - pix_y
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        big_g = jnp.exp(power)
-        alpha_u = opa * big_g
-        alpha = jnp.minimum(ALPHA_MAX, alpha_u)
-        kpos = ci * chunk + lane         # [1, C] position relative to base
-        in_seg = (kpos >= head) & (kpos < head + count)
-        amask = in_seg & (power <= 0.0) & (alpha >= ALPHA_MIN)
-        alpha_eff = jnp.where(amask, alpha, 0.0)
-
-        include = in_seg & ((kpos - head) < n_con_col)            # [p, C]
-        om = jnp.where(include, 1.0 - alpha_eff, 1.0)
-
-        revprod = _rev_scan_lanes(om, chunk, jnp.multiply, 1.0)   # ∏_{j>=i}
-        t_before = t_run / revprod                                # [p, C]
-        w = jnp.where(include, alpha_eff * t_before, 0.0)
-
-        # u_i(p) = c_i . g_C(p) + d_i g_D(p)
-        u = jax.lax.dot_general(
-            g_c, colors, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                                          # [p, C]
-        u = u + g_d_col * depth
-
-        wu = w * u
-        revsum_incl = _rev_cumsum_mxu(wu, tri)
-        s_i = s_run + revsum_incl - wu                             # suffix j>i
-
-        one_minus = jnp.where(amask, 1.0 - alpha_eff, 1.0)
-        dalpha = t_before * u - (s_i + gt_term) / one_minus
-        emit = amask & include
-        dalpha = jnp.where(emit, dalpha, 0.0)
-
-        dpow = alpha_u * dalpha                                    # [p, C]
-        d_color = jax.lax.dot_general(
-            g_c, w, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                                          # [3, C]
-        d_depth = jax.lax.dot_general(
-            g_d, w, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                                          # [1, C]
-        d_ca = jnp.sum(-0.5 * dx * dx * dpow, axis=0, keepdims=True)
-        d_cb = jnp.sum(-(dx * dy) * dpow, axis=0, keepdims=True)
-        d_cc = jnp.sum(-0.5 * dy * dy * dpow, axis=0, keepdims=True)
-        d_gx = jnp.sum(-(ca * dx + cb * dy) * dpow, axis=0, keepdims=True)
-        d_gy = jnp.sum(-(cc * dy + cb * dx) * dpow, axis=0, keepdims=True)
-        d_opa = jnp.sum(big_g * dalpha, axis=0, keepdims=True)
-
-        grad_vmem[0:1, :] = d_gx
-        grad_vmem[1:2, :] = d_gy
-        grad_vmem[2:3, :] = d_ca
-        grad_vmem[3:4, :] = d_cb
-        grad_vmem[4:5, :] = d_cc
-        grad_vmem[5:8, :] = d_color
-        grad_vmem[8:9, :] = d_opa
-        grad_vmem[9:10, :] = d_depth
-        grad_vmem[10:16, :] = jnp.zeros((6, chunk), jnp.float32)
-
-        # one [16, chunk] block per chunk slot; the caller transposes each
-        # block to rows (a local (16,chunk) relayout XLA does at bandwidth,
-        # forcing a row-major materialization so the downstream per-key row
-        # gather stays on the fast path)
-        wcopy = pltpu.make_async_copy(
-            grad_vmem, out_grads_ref.at[cbase + ci], sem_out
+        return pltpu.make_async_copy(
+            data_ref.at[:, pl.ds(offset, chunk)], chunk_vmem.at[slot],
+            sem_in.at[slot],
         )
-        wcopy.start()
-        wcopy.wait()
 
-        t_run = t_run / revprod[:, 0:1]
-        s_run = s_run + revsum_incl[:, 0:1]
-        return ci - 1, t_run, s_run
+    def _hi(g):
+        """Chunks overlapping included keys of tile pid*group+g."""
+        t = pid * group + g
+        start = tile_start_ref[t]
+        count = tile_count_ref[t]
+        head = start - (start // 128) * 128
+        n_con = ncontrib_ref[g]                    # [1, P] i32
+        max_inc = jnp.minimum(jnp.max(n_con), count)
+        # 0 for empty tiles regardless of alignment (skip DMA + loop)
+        return jnp.where(
+            count > 0, (head + max_inc + chunk - 1) // chunk, 0
+        )
 
-    def cond(carry):
-        ci, _, _ = carry
-        return ci >= 0
+    # prefetch the last chunk of every tile in the group
+    for g in range(group):
+        t = pid * group + g
+        start = tile_start_ref[t]
+        hi = _hi(g)
 
-    t0 = t_final_row.reshape(p, 1)
-    s0 = jnp.zeros((p, 1), jnp.float32)
-    jax.lax.while_loop(cond, body, (hi - 1, t0, s0))
+        @pl.when(hi > 0)
+        def _(start=start, hi=hi, g=g):
+            _copy_in(start, hi - 1, g).start()
+
+    # write-slot bookkeeping threads across tiles: w_pend[s] = 1 iff an
+    # output DMA through grad_vmem[s] is still outstanding (f32 0/1 flags —
+    # Mosaic can't legalize i1 while-loop carries)
+    w_pend = (jnp.float32(0.0), jnp.float32(0.0))
+
+    def _wait_out(slot_idx):
+        pltpu.make_async_copy(
+            grad_vmem.at[slot_idx], out_grads_ref.at[0], sem_out.at[slot_idx]
+        ).wait()
+
+    for g in range(group):
+        t = pid * group + g
+        start = tile_start_ref[t]
+        count = tile_count_ref[t]
+        cbase = chunk_base_ref[t]
+        head = start - (start // 128) * 128
+        hi = _hi(g)
+        tx_px = ((t % tiles_x) * TILE).astype(jnp.float32)
+        ty_px = ((t // tiles_x) * TILE).astype(jnp.float32)
+
+        g_c = g_color_ref[g]                       # [3, P]
+        g_d = g_depth_ref[g]                       # [1, P]
+        g_a = g_alpha_ref[g]                       # [1, P]
+        t_final_row = 1.0 - alpha_out_ref[g]       # [1, P]
+        n_con = ncontrib_ref[g]                    # [1, P] i32
+
+        # dL/dT_final = bg . g_color - g_alpha, folded with T_final once
+        g_t = bg[0] * g_c[0:1, :] + bg[1] * g_c[1:2, :] + bg[2] * g_c[2:3, :] - g_a
+        gt_term = (t_final_row * g_t).reshape(p, 1)   # [p,1]
+        g_d_col = g_d.reshape(p, 1)
+        n_con_col = n_con.reshape(p, 1)
+
+        def body(carry, g=g, start=start, head=head, count=count, hi=hi,
+                 cbase=cbase, tx_px=tx_px, ty_px=ty_px, g_c=g_c,
+                 gt_term=gt_term, g_d_col=g_d_col, n_con_col=n_con_col):
+            ci, t_run, s_run, w0, w1 = carry
+            in_slot = jnp.where(ci == hi - 1, g, group + ci % 2)
+
+            @pl.when(ci - 1 >= 0)
+            def _():
+                _copy_in(start, ci - 1, group + (ci - 1) % 2).start()
+
+            _copy_in(start, ci, in_slot).wait()
+            cur = chunk_vmem.at[in_slot]
+
+            gx = cur[0:1, :]
+            gy = cur[1:2, :]
+            ca = cur[2:3, :]
+            cb = cur[3:4, :]
+            cc = cur[4:5, :]
+            colors = cur[5:8, :]
+            opa = cur[8:9, :]
+            depth = cur[9:10, :]
+
+            dx = gx - (tx_px + px_loc)               # [p, C]
+            dy = gy - (ty_px + py_loc)
+            if MXU_POWER:  # match the forward's alpha bit-for-bit
+                coefs = _power_coefs(cur, tx_px, ty_px, chunk)
+                power = _mm(basis, coefs, ((1,), (0,)))        # [p, C]
+            else:
+                power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            big_g = jnp.exp(power)
+            alpha_u = opa * big_g
+            alpha = jnp.minimum(ALPHA_MAX, alpha_u)
+            kpos = ci * chunk + lane         # [1, C] position relative to base
+            in_seg = (kpos >= head) & (kpos < head + count)
+            amask = in_seg & (power <= 0.0) & (alpha >= ALPHA_MIN)
+            alpha_eff = jnp.where(amask, alpha, 0.0)
+
+            include = in_seg & ((kpos - head) < n_con_col)            # [p, C]
+            om = jnp.where(include, 1.0 - alpha_eff, 1.0)
+
+            # T_before_i = T_run / prod_{j>=i} om_j, in log space: one
+            # triangular MXU contraction + exp (each |log om| <= 4.6)
+            revlog = _mm(jnp.log(om), tri, ((1,), (0,)))               # [p, C]
+            t_before = t_run * jnp.exp(-revlog)
+            w = jnp.where(include, alpha_eff * t_before, 0.0)
+
+            # u_i(p) = c_i . g_C(p) + d_i g_D(p)
+            u = _mm(g_c, colors, ((0,), (0,)))                         # [p, C]
+            u = u + g_d_col * depth
+
+            wu = w * u
+            revsum_incl = _mm(wu, tri, ((1,), (0,)))
+            s_i = s_run + revsum_incl - wu                             # suffix j>i
+
+            one_minus = jnp.where(amask, 1.0 - alpha_eff, 1.0)
+            dalpha = t_before * u - (s_i + gt_term) / one_minus
+            emit = amask & include
+            dalpha = jnp.where(emit, dalpha, 0.0)
+
+            dpow = alpha_u * dalpha                                    # [p, C]
+            d_color = _mm(g_c, w, ((1,), (0,)))                        # [3, C]
+            d_depth = _mm(g_d, w, ((1,), (0,)))                        # [1, C]
+            d_ca = jnp.sum(-0.5 * dx * dx * dpow, axis=0, keepdims=True)
+            d_cb = jnp.sum(-(dx * dy) * dpow, axis=0, keepdims=True)
+            d_cc = jnp.sum(-0.5 * dy * dy * dpow, axis=0, keepdims=True)
+            d_gx = jnp.sum(-(ca * dx + cb * dy) * dpow, axis=0, keepdims=True)
+            d_gy = jnp.sum(-(cc * dy + cb * dx) * dpow, axis=0, keepdims=True)
+            d_opa = jnp.sum(big_g * dalpha, axis=0, keepdims=True)
+
+            # reuse a write slot only once its previous DMA completed; one
+            # [16, chunk] block per chunk slot — the caller transposes each
+            # block to rows (a local (16,chunk) relayout XLA does at
+            # bandwidth, forcing a row-major materialization so the
+            # downstream per-key row gather stays on the fast path)
+            g16 = jnp.concatenate(
+                [d_gx, d_gy, d_ca, d_cb, d_cc, d_color, d_opa, d_depth,
+                 jnp.zeros((6, chunk), jnp.float32)],
+                axis=0,
+            )                                                  # [16, C]
+            w_slot = ci % 2
+            for k in (0, 1):
+                pend = w0 if k == 0 else w1
+
+                @pl.when((w_slot == k) & (pend > 0.5))
+                def _(k=k):
+                    _wait_out(k)
+
+                @pl.when(w_slot == k)
+                def _(k=k):
+                    grad_vmem[k] = g16
+                    pltpu.make_async_copy(
+                        grad_vmem.at[k], out_grads_ref.at[cbase + ci],
+                        sem_out.at[k],
+                    ).start()
+
+            is0 = (w_slot == 0).astype(jnp.float32)
+            w0 = jnp.maximum(w0, is0)
+            w1 = jnp.maximum(w1, 1.0 - is0)
+
+            t_run = t_run * jnp.exp(-revlog[:, 0:1])
+            s_run = s_run + revsum_incl[:, 0:1]
+            return ci - 1, t_run, s_run, w0, w1
+
+        def cond(carry):
+            ci, *_ = carry
+            return ci >= 0
+
+        t0 = t_final_row.reshape(p, 1)
+        s0 = jnp.zeros((p, 1), jnp.float32)
+        _, _, _, w0, w1 = jax.lax.while_loop(
+            cond, body, (hi - 1, t0, s0, w_pend[0], w_pend[1])
+        )
+        w_pend = (w0, w1)
+
+    @pl.when(w_pend[0] > 0.5)
+    def _():
+        _wait_out(0)
+
+    @pl.when(w_pend[1] > 0.5)
+    def _():
+        _wait_out(1)
 
 
 @functools.partial(
@@ -255,28 +335,35 @@ def backward_kernel_call(
     num_tiles = tiles_x * tiles_y
     p = TILE * TILE
     chunk = cfg.pallas_chunk
+    group = GROUP
+    n_groups = -(-num_tiles // group)
+    t_pad = n_groups * group
+    pad = t_pad - num_tiles
     bg4 = jnp.concatenate([bg.astype(jnp.float32), jnp.zeros(1, jnp.float32)])
     assert k_pad % chunk == 0
     zeros_out = jnp.zeros((k_pad // chunk, data.shape[0], chunk), jnp.float32)
 
+    def _pad_t(x):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(num_tiles,),
+        grid=(n_groups,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # data
-            pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, 3, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # zeros (aliased to output)
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((data.shape[0], chunk), jnp.float32),
-            pltpu.VMEM((data.shape[0], chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((group + 2, data.shape[0], chunk), jnp.float32),
+            pltpu.VMEM((2, data.shape[0], chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((group + 2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
@@ -286,7 +373,7 @@ def backward_kernel_call(
         _bwd_kernel(
             ts, tc, cb, bgr, data_ref, gc, gd, ga, ao, nc, out_ref,
             chunk_vmem, grad_vmem, sem_in, sem_out,
-            tiles_x=tiles_x, chunk=chunk,
+            tiles_x=tiles_x, chunk=chunk, group=group,
         )
 
     (out_grads,) = pl.pallas_call(
@@ -298,7 +385,8 @@ def backward_kernel_call(
         input_output_aliases={10: 0},  # zeros input (after 4 prefetch args) -> output
         interpret=interpret,
     )(
-        tile_start, tile_count, chunk_base, bg4,
-        data, g_color_t, g_depth_t, g_alpha_t, alpha_t, ncontrib_t, zeros_out,
+        _pad_t(tile_start), _pad_t(tile_count), _pad_t(chunk_base), bg4,
+        data, _pad_t(g_color_t), _pad_t(g_depth_t), _pad_t(g_alpha_t),
+        _pad_t(alpha_t), _pad_t(ncontrib_t), zeros_out,
     )
     return out_grads

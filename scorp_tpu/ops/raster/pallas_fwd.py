@@ -4,18 +4,32 @@ The production equivalent of the reference CUDA renderCUDA kernel
 (semantics in SURVEY.md §2.3a / §3.2), designed for the TPU memory
 hierarchy instead of translated:
 
-  * grid = one program per 16x16 tile; the tile's depth-sorted Gaussian
-    stream (built by common.bin_stream) is DMA'd HBM->VMEM in chunks of
-    `pallas_chunk` and processed as [P=256 pixels, C] vector blocks;
-  * the sequential front-to-back transmittance recurrence becomes a
-    Hillis-Steele cumulative product along the chunk axis (log2(C) masked
-    rolls) — per-pixel blending weights w_i = α_i·T·∏_{j<i}(1-α_j) then
-    come out in one shot, and the color accumulation Σ w_i c_i is a
-    [P,C]x[C,3] MXU contraction;
+  * grid = one program per GROUP of 16x16 tiles (default 8). Grouping
+    amortizes the per-program fixed cost (measured ~1-2 us/program on v5e:
+    output DMA turnaround + scalar setup dominates tiles whose stream is a
+    single chunk — the p50 on real scenes) and lets the kernel issue the
+    chunk-0 DMA of every tile in the group up front, hiding HBM latency
+    that a per-tile grid pays serially;
+  * each tile's depth-sorted Gaussian stream (built by common.bin_stream)
+    is DMA'd HBM->VMEM in chunks of `pallas_chunk` and processed as
+    [P=256 pixels, C] vector blocks;
+  * the Gaussian exponent is evaluated on the MXU: power(px,py) is a
+    quadratic polynomial in the (tile-local) pixel coordinates, so one
+    [P,8]x[8,C] contraction replaces the per-key-pixel VPU chain
+    (dx/dy/conic products). Tile-local coordinates keep it exact: the 0.3px
+    low-pass dilation bounds conic entries by ~3.3, so every matmul term is
+    O(10^3) and f32 accumulation holds power to ~1e-4 absolute;
+  * the sequential front-to-back transmittance recurrence runs in log
+    space on the MXU: cumprod_i (1-a_j) = exp(sum log(1-a_j)) with the
+    prefix sum as one [P,C]x[C,C] triangular contraction — replacing the
+    log2(C)-step masked Hillis-Steele roll chain that dominated the VPU
+    cost. alpha <= 0.99 keeps log(1-a) in [-4.6, 0], so the exp/log round
+    trip costs ~1e-6 relative — below the alpha-threshold tie noise;
   * the CUDA early-termination rule is exact here because the running
     transmittance is monotone non-increasing: a Gaussian is included iff
-    T·∏_{j<=i}(1-α_j) >= 1e-4, and the chunk loop exits early once every
-    pixel has saturated (while_loop condition), mirroring the warp-wide
+    T*prod_{j<=i}(1-a_j) >= 1e-4 and no earlier key of the pixel already
+    crossed the threshold (sticky `stopped` carry), and the chunk loop
+    exits early once every pixel has saturated, mirroring the warp-wide
     `__syncthreads_count(done)` break;
   * outputs are [T, ch, P] blocks so the lane dimension stays 256-wide.
 """
@@ -35,6 +49,13 @@ from .common import TILE, RasterConfig, StreamBins, grid_dims
 T_EPS = 1e-4
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
+GROUP = 8  # tiles per program
+MXU_SCAN = True   # log-space transmittance via triangular MXU contraction
+# quadratic-basis exponent on the MXU: measured a net LOSS on v5e (the
+# [256,8]x[8,128] HIGHEST-precision contraction costs more than the fused
+# VPU dx/dy chain it replaces) — kept as an off-by-default experiment flag
+MXU_POWER = False
+PREFETCH0 = True  # issue chunk-0 DMAs of all group tiles up front
 
 
 def _masked_cumprod_lanes(x: jnp.ndarray, chunk: int) -> jnp.ndarray:
@@ -58,151 +79,221 @@ def _cumprod_excl_lanes(x: jnp.ndarray, chunk: int) -> jnp.ndarray:
     return _masked_cumprod_lanes(shifted, chunk)
 
 
+def _strict_lower_tri(chunk: int) -> jnp.ndarray:
+    """L[j, i] = 1 iff j < i: x @ L = exclusive prefix sums along lanes."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+    return (j < i).astype(jnp.float32)
+
+
+def _pixel_basis(p: int) -> jnp.ndarray:
+    """[P, 8] quadratic monomial basis of the tile-local pixel coords:
+    [1, px, py, px^2, px*py, py^2, 0, 0]."""
+    pix_row = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px = (pix_row % TILE).astype(jnp.float32)
+    py = (pix_row // TILE).astype(jnp.float32)
+    one = jnp.ones((p, 1), jnp.float32)
+    zero = jnp.zeros((p, 1), jnp.float32)
+    return jnp.concatenate(
+        [one, px, py, px * px, px * py, py * py, zero, zero], axis=1
+    )
+
+
+def _power_coefs(cur, tx_px, ty_px, chunk: int) -> jnp.ndarray:
+    """[8, C] per-key coefficients so that power = basis @ coefs.
+
+    power = -0.5*(A dx^2 + C dy^2) - B dx dy with dx = gx - px. In
+    tile-local coordinates (gl = g - tile_origin):
+      c0 = -0.5(A glx^2 + C gly^2) - B glx gly
+      c_px = A glx + B gly,  c_py = C gly + B glx
+      c_px2 = -0.5 A, c_pxpy = -B, c_py2 = -0.5 C
+    """
+    glx = cur[0:1, :] - tx_px          # [1, C]
+    gly = cur[1:2, :] - ty_px
+    ca = cur[2:3, :]
+    cb = cur[3:4, :]
+    cc = cur[4:5, :]
+    c0 = -0.5 * (ca * glx * glx + cc * gly * gly) - cb * glx * gly
+    c_px = ca * glx + cb * gly
+    c_py = cc * gly + cb * glx
+    zero = jnp.zeros((1, chunk), jnp.float32)
+    return jnp.concatenate(
+        [c0, c_px, c_py, -0.5 * ca, -cb, -0.5 * cc, zero, zero], axis=0
+    )
+
+
+def _mm(a, b, contract):
+    return jax.lax.dot_general(
+        a, b,
+        dimension_numbers=(contract, ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _fwd_kernel(
     # scalar prefetch
-    tile_start_ref,  # [T] i32
-    tile_count_ref,  # [T] i32
+    tile_start_ref,  # [T_pad] i32
+    tile_count_ref,  # [T_pad] i32
     bg_ref,          # [4] f32 (rgb + pad)
     # inputs
-    data_ref,        # [10, K] f32 in ANY/HBM
-    # outputs (per-tile blocks)
-    out_color_ref,   # [1, 3, P]
-    out_depth_ref,   # [1, 1, P]
-    out_alpha_ref,   # [1, 1, P]
-    out_ncontrib_ref,  # [1, 1, P] i32: keys processed before termination
+    data_ref,        # [16, K] f32 in ANY/HBM
+    # outputs (per-group blocks)
+    out_color_ref,   # [G, 3, P]
+    out_depth_ref,   # [G, 1, P]
+    out_alpha_ref,   # [G, 1, P]
+    out_ncontrib_ref,  # [G, 1, P] i32: keys processed before termination
     # scratch
-    chunk_vmem,      # [2, 16, C] f32 (double buffer)
-    sem,             # [2] DMA semaphores
+    chunk_vmem,      # [G+2, 16, C] f32 (per-tile chunk-0 slots + 2 rotating)
+    sem,             # [G+2] DMA semaphores
     *,
     tiles_x: int,
     chunk: int,
+    group: int,
     track_ncontrib: bool = True,
 ):
-    t = pl.program_id(0)
-    start = tile_start_ref[t]
-    count = tile_count_ref[t]
-    # DMA windows must start 128-lane aligned: round the tile's stream
-    # segment down and mask the head lanes instead
-    base = (start // 128) * 128
-    head = start - base
-    n_chunks = (head + count + chunk - 1) // chunk
-
+    pid = pl.program_id(0)
     p = TILE * TILE
-    tx = (t % tiles_x).astype(jnp.float32)
-    ty = (t // tiles_x).astype(jnp.float32)
-    pix_row = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    pix_x = (tx * TILE) + (pix_row % TILE).astype(jnp.float32)   # [p,1]
-    pix_y = (ty * TILE) + (pix_row // TILE).astype(jnp.float32)
-
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-
-    def _copy(ci, slot):
+    basis = _pixel_basis(p) if MXU_POWER else None
+    ltri = _strict_lower_tri(chunk) if MXU_SCAN else None
+    def _copy(start, ci, slot):
+        base = (start // 128) * 128
         offset = pl.multiple_of(base + ci * chunk, 128)
         return pltpu.make_async_copy(
             data_ref.at[:, pl.ds(offset, chunk)], chunk_vmem.at[slot], sem.at[slot]
         )
 
-    # double-buffered pipeline: chunk ci is in flight when its body starts
-    @pl.when(n_chunks > 0)
-    def _():
-        _copy(jnp.int32(0), 0).start()
+    def _n_chunks(start, count):
+        # 0 for empty tiles regardless of alignment: the chunk-0 prefetch is
+        # guarded on count > 0, so the loop must not wait on its semaphore
+        head = start - (start // 128) * 128
+        return jnp.where(count > 0, (head + count + chunk - 1) // chunk, 0)
 
-    def body(carry):
-        ci, t_carry, stopped, acc_c, acc_d, n_con = carry
-        slot = ci % 2
-        _copy(ci, slot).wait()
+    # hide HBM latency: chunk 0 of every tile in the group goes in flight now
+    if PREFETCH0:
+        for g in range(group):
+            t = pid * group + g
+            start = tile_start_ref[t]
 
-        @pl.when(ci + 1 < n_chunks)
-        def _():
-            _copy(ci + 1, 1 - slot).start()
+            @pl.when(tile_count_ref[t] > 0)
+            def _(start=start, g=g):
+                _copy(start, jnp.int32(0), g).start()
 
-        cur = chunk_vmem.at[slot]
-        gx = cur[0:1, :]             # [1, C]
-        gy = cur[1:2, :]
-        ca = cur[2:3, :]
-        cb = cur[3:4, :]
-        cc = cur[4:5, :]
-        opa = cur[8:9, :]
+    for g in range(group):
+        t = pid * group + g
+        start = tile_start_ref[t]
+        count = tile_count_ref[t]
+        head = start - (start // 128) * 128
+        n_chunks = _n_chunks(start, count)
+        tx_px = ((t % tiles_x) * TILE).astype(jnp.float32)
+        ty_px = ((t // tiles_x) * TILE).astype(jnp.float32)
 
-        dx = gx - pix_x              # [p, C]
-        dy = gy - pix_y
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        alpha = jnp.minimum(ALPHA_MAX, opa * jnp.exp(power))
-        kpos = ci * chunk + lane  # position relative to `base`
-        valid = (kpos >= head) & (kpos < head + count) & (power <= 0.0)
-        alpha = jnp.where(valid & (alpha >= ALPHA_MIN), alpha, 0.0)
+        if not PREFETCH0:
+            @pl.when(count > 0)
+            def _(start=start, g=g):
+                _copy(start, jnp.int32(0), g).start()
 
-        # exclusive/inclusive running (1-alpha) products along the chunk
-        cum_excl = _cumprod_excl_lanes(1.0 - alpha, chunk)         # [p, C]
-        t_before = t_carry * cum_excl
-        t_after = t_before * (1.0 - alpha)
-        # CUDA rule: the key that would drop T below 1e-4 is excluded and the
-        # pixel is done (sticky): within a chunk t_after is monotone, so the
-        # threshold test is a prefix; stickiness across chunks needs the flag.
-        # (carried as f32 0/1 — Mosaic can't legalize i1 while-loop carries)
-        include = jnp.logical_and(stopped < 0.5, t_after >= T_EPS)
-        weight = jnp.where(include, alpha * t_before, 0.0)
+        def body(carry, g=g, start=start, head=head, count=count,
+                 n_chunks=n_chunks, tx_px=tx_px, ty_px=ty_px):
+            ci, t_carry, stopped, acc_c, acc_d, n_con = carry
+            slot = jnp.where(ci == 0, g, group + ci % 2)
+            next_slot = group + (ci + 1) % 2
+            _copy(start, ci, slot).wait()
 
-        colors = cur[5:8, :]                                       # [3, C]
-        acc_c = acc_c + jax.lax.dot_general(
-            colors, weight,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                                           # [3, p]
-        depth = cur[9:10, :]
-        acc_d = acc_d + jax.lax.dot_general(
-            depth, weight,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                                           # [1, p]
-        if track_ncontrib:
-            # n_contrib = 1-based stream position (from the segment start) of
-            # the last included key with alpha > 0 — the reference
-            # last_contributor, consumed by the backward as a prefix length.
-            contrib = jnp.logical_and(include, alpha > 0.0)
-            pos1 = (kpos - head) + 1                                # [1, C]
-            n_con = jnp.maximum(
-                n_con,
-                jnp.max(jnp.where(contrib, pos1, 0), axis=1, keepdims=True),
+            @pl.when(ci + 1 < n_chunks)
+            def _():
+                _copy(start, ci + 1, next_slot).start()
+
+            cur = chunk_vmem.at[slot]
+
+            if MXU_POWER:
+                coefs = _power_coefs(cur, tx_px, ty_px, chunk)
+                power = _mm(basis, coefs, ((1,), (0,)))      # [p, C] MXU
+            else:
+                pix_row = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+                pix_x = tx_px + (pix_row % TILE).astype(jnp.float32)
+                pix_y = ty_px + (pix_row // TILE).astype(jnp.float32)
+                dx = cur[0:1, :] - pix_x
+                dy = cur[1:2, :] - pix_y
+                power = (
+                    -0.5 * (cur[2:3, :] * dx * dx + cur[4:5, :] * dy * dy)
+                    - cur[3:4, :] * dx * dy
+                )
+            opa = cur[8:9, :]
+            alpha = jnp.minimum(ALPHA_MAX, opa * jnp.exp(power))
+            kpos = ci * chunk + lane  # position relative to `base`
+            valid = (kpos >= head) & (kpos < head + count) & (power <= 0.0)
+            alpha = jnp.where(valid & (alpha >= ALPHA_MIN), alpha, 0.0)
+
+            # exclusive running (1-alpha) product along the chunk, in log
+            # space: one triangular MXU contraction instead of a lane scan
+            if MXU_SCAN:
+                logx = jnp.log(1.0 - alpha)                   # [p, C] <= 0
+                cum_excl = jnp.exp(_mm(logx, ltri, ((1,), (0,))))
+            else:
+                cum_excl = _cumprod_excl_lanes(1.0 - alpha, chunk)
+            t_before = t_carry * cum_excl
+            t_after = t_before * (1.0 - alpha)
+            # CUDA rule: the key that would drop T below 1e-4 is excluded and
+            # the pixel is done (sticky): within a chunk t_after is monotone,
+            # so the threshold test is a prefix; stickiness across chunks
+            # needs the flag. (f32 0/1 — Mosaic can't legalize i1 carries)
+            include = jnp.logical_and(stopped < 0.5, t_after >= T_EPS)
+            weight = jnp.where(include, alpha * t_before, 0.0)
+
+            colors = cur[5:8, :]                               # [3, C]
+            acc_c = acc_c + _mm(colors, weight, ((1,), (1,)))  # [3, p]
+            depth = cur[9:10, :]
+            acc_d = acc_d + _mm(depth, weight, ((1,), (1,)))   # [1, p]
+            if track_ncontrib:
+                # n_contrib = 1-based stream position (from the segment
+                # start) of the last included key with alpha > 0 — the
+                # reference last_contributor, a prefix length for backward.
+                contrib = jnp.logical_and(include, alpha > 0.0)
+                pos1 = (kpos - head) + 1                       # [1, C]
+                n_con = jnp.maximum(
+                    n_con,
+                    jnp.max(jnp.where(contrib, pos1, 0), axis=1, keepdims=True),
+                )
+            # included set is a per-pixel prefix -> post-chunk T is the
+            # smallest included t_after (reduce_min; no reduce_prod in Mosaic)
+            t_carry = jnp.min(
+                jnp.where(include, t_after, t_carry), axis=1, keepdims=True
             )
-        # included set is a per-pixel prefix -> post-chunk T is the smallest
-        # included t_after (reduce_min; Mosaic has no reduce_prod)
-        t_carry = jnp.min(
-            jnp.where(include, t_after, t_carry), axis=1, keepdims=True
+            stopped = jnp.maximum(
+                stopped,
+                (t_after[:, chunk - 1 : chunk] < T_EPS).astype(jnp.float32),
+            )
+            return ci + 1, t_carry, stopped, acc_c, acc_d, n_con
+
+        def cond(carry, n_chunks=n_chunks):
+            ci, _, stopped, _, _, _ = carry
+            return (ci < n_chunks) & (jnp.min(stopped) < 0.5)
+
+        t0 = jnp.ones((p, 1), jnp.float32)
+        stop0 = jnp.zeros((p, 1), jnp.float32)
+        acc_c0 = jnp.zeros((3, p), jnp.float32)
+        acc_d0 = jnp.zeros((1, p), jnp.float32)
+        n0 = jnp.zeros((p, 1), jnp.int32)
+        ci_final, t_final, _, acc_c, acc_d, n_inc = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), t0, stop0, acc_c0, acc_d0, n0)
         )
-        stopped = jnp.maximum(
-            stopped,
-            (t_after[:, chunk - 1 : chunk] < T_EPS).astype(jnp.float32),
-        )
-        return ci + 1, t_carry, stopped, acc_c, acc_d, n_con
 
-    def cond(carry):
-        ci, _, stopped, _, _, _ = carry
-        return (ci < n_chunks) & (jnp.min(stopped) < 0.5)
+        # drain the in-flight prefetch if the loop exited early
+        @pl.when(ci_final < n_chunks)
+        def _(g=g, start=start, ci_final=ci_final):
+            slot = jnp.where(ci_final == 0, g, group + ci_final % 2)
+            _copy(start, ci_final, slot).wait()
 
-    t0 = jnp.ones((p, 1), jnp.float32)
-    stop0 = jnp.zeros((p, 1), jnp.float32)
-    acc_c0 = jnp.zeros((3, p), jnp.float32)
-    acc_d0 = jnp.zeros((1, p), jnp.float32)
-    n0 = jnp.zeros((p, 1), jnp.int32)
-    ci_final, t_final, _, acc_c, acc_d, n_inc = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), t0, stop0, acc_c0, acc_d0, n0)
-    )
-    # drain the in-flight prefetch if the loop exited early
-    @pl.when(ci_final < n_chunks)
-    def _():
-        _copy(ci_final, ci_final % 2).wait()
-
-    t_row = t_final.reshape(1, p)
-    bg = bg_ref
-    out_color_ref[0, 0, :] = acc_c[0, :] + t_row[0, :] * bg[0]
-    out_color_ref[0, 1, :] = acc_c[1, :] + t_row[0, :] * bg[1]
-    out_color_ref[0, 2, :] = acc_c[2, :] + t_row[0, :] * bg[2]
-    out_depth_ref[0, 0, :] = acc_d[0, :]
-    out_alpha_ref[0, 0, :] = 1.0 - t_row[0, :]
-    out_ncontrib_ref[0, 0, :] = n_inc.reshape(1, p)[0, :]
+        t_row = t_final.reshape(1, p)
+        bg = bg_ref
+        out_color_ref[g, 0, :] = acc_c[0, :] + t_row[0, :] * bg[0]
+        out_color_ref[g, 1, :] = acc_c[1, :] + t_row[0, :] * bg[1]
+        out_color_ref[g, 2, :] = acc_c[2, :] + t_row[0, :] * bg[2]
+        out_depth_ref[g, 0, :] = acc_d[0, :]
+        out_alpha_ref[g, 0, :] = 1.0 - t_row[0, :]
+        out_ncontrib_ref[g, 0, :] = n_inc.reshape(1, p)[0, :]
 
 
 @functools.partial(
@@ -240,38 +331,51 @@ def _composite_kernel_call(
     num_tiles = tiles_x * tiles_y
     p = TILE * TILE
     chunk = cfg.pallas_chunk
+    group = GROUP
+    n_groups = -(-num_tiles // group)
+    t_pad = n_groups * group
     bg4 = jnp.concatenate([bg.astype(jnp.float32), jnp.zeros(1, jnp.float32)])
+    pad = t_pad - num_tiles
+    tile_start_p = jnp.pad(tile_start, (0, pad))
+    tile_count_p = jnp.pad(tile_count, (0, pad))
 
+    n_slots = group + 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(num_tiles,),
+        grid=(n_groups,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, 3, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, data.shape[0], chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_slots, data.shape[0], chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_slots,)),
         ],
     )
     kernel = functools.partial(
-        _fwd_kernel, tiles_x=tiles_x, chunk=chunk, track_ncontrib=track_ncontrib
+        _fwd_kernel, tiles_x=tiles_x, chunk=chunk, group=group,
+        track_ncontrib=track_ncontrib,
     )
     out_color, out_depth, out_alpha, out_ncontrib = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, 3, p), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.int32),
+            jax.ShapeDtypeStruct((t_pad, 3, p), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, 1, p), jnp.int32),
         ],
         interpret=interpret,
-    )(tile_start, tile_count, bg4, data)
-    return out_color, out_depth, out_alpha, out_ncontrib
+    )(tile_start_p, tile_count_p, bg4, data)
+    return (
+        out_color[:num_tiles],
+        out_depth[:num_tiles],
+        out_alpha[:num_tiles],
+        out_ncontrib[:num_tiles],
+    )
 
 
 def tiles_cp_to_image(tile_img: jnp.ndarray, width: int, height: int) -> jnp.ndarray:

@@ -549,7 +549,7 @@ def _make_surfel_composite(width: int, height: int, cfg: RasterConfig,
     tiles_x, tiles_y = grid_dims(width, height)
     num_tiles = tiles_x * tiles_y
     chunk = cfg.pallas_chunk
-    k_al = cfg.max_keys + num_tiles * chunk
+    k_al = cfg.stream_cap + num_tiles * chunk
 
     def _build_stream(table, g_pad):
         key_rows = gather_rows_u16(table, g_pad)  # [K_al, 22]
@@ -638,7 +638,7 @@ def rasterize_surfel_pallas(
         scale_modifier=scale_modifier, screen_deltas=screen_deltas, alive=alive,
     )
     prep_sg = jax.lax.stop_gradient(_surfel_prep_to_common(prep))
-    g_pad, g_drop, aligned_start, tile_count, total, order = _aligned_routing(
+    g_pad, g_drop, aligned_start, tile_count, dropped, order = _aligned_routing(
         prep_sg, w, h, cfg
     )
 
@@ -667,6 +667,6 @@ def rasterize_surfel_pallas(
     normal = tiles_cp_to_image(normal_t, w, h)
     median = tiles_cp_to_image(median_t, w, h)
     dist = tiles_cp_to_image(dist_t, w, h)
-    num_dropped = jnp.maximum(total - cfg.max_keys, 0).astype(jnp.int32)
+    num_dropped = dropped.astype(jnp.int32)
     return SurfelOutput(color, alpha, depth, normal, median, dist,
                         prep.radii, num_dropped, jnp.int32(0))

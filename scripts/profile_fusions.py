@@ -1,0 +1,101 @@
+"""Per-fusion cost breakdown of render (and optionally train) via
+jax.profiler trace events (per-fusion times are trustworthy through the
+axon tunnel, unlike isolated micro-benchmarks)."""
+
+import glob
+import gzip
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+from bench import build_scene  # noqa: E402
+
+import jax
+import jax.numpy as jnp
+
+from scorp_tpu.ops.raster import RasterConfig
+from scorp_tpu.ops.raster.common import bin_stream, preprocess
+import scorp_tpu.ops.raster.pallas_fwd as pf
+
+MODE = sys.argv[1] if len(sys.argv) > 1 else "render"
+
+xyz, shs, scales, quats, opacity, cam = build_scene()
+cfg = RasterConfig(max_keys=1 << 21, tile_list_len=4096, chunk=64,
+                   pallas_chunk=128, stream_keys=(1 << 20) + (1 << 19))
+w, h = cam.width, cam.height
+bg = jnp.zeros(3, jnp.float32)
+
+if MODE == "render":
+    @jax.jit
+    def step(xyz, shs, scales, quats, opacity):
+        prep = preprocess(xyz, opacity, cam, shs=shs, sh_degree=3,
+                          scales=scales, quats=quats)
+        bins = bin_stream(prep, w, h, cfg)
+        return pf.composite_stream_pallas(bins, bg, w, h, cfg,
+                                          track_ncontrib=False)[0]
+
+    args = (xyz, shs, scales, quats, opacity)
+else:
+    import numpy as np
+
+    from scorp_tpu.core.plyio import GaussianData
+    from scorp_tpu.train import OptParams, from_gaussian_data, init_adam
+    from scorp_tpu.train.step import train_step
+
+    n = xyz.shape[0]
+    g = GaussianData(
+        xyz=np.asarray(xyz), f_dc=np.asarray(shs[:, :1]),
+        f_rest=np.asarray(shs[:, 1:]),
+        opacity=np.log(np.asarray(opacity) / (1 - np.asarray(opacity)))[:, None],
+        scaling=np.log(np.asarray(scales)), rotation=np.asarray(quats),
+    )
+    state = from_gaussian_data(g, capacity=n)
+    adam = init_adam(state)
+    rng = np.random.default_rng(1)
+    gt = jnp.asarray(rng.uniform(0, 1, (3, h, w)).astype(np.float32))
+    zeros1 = jnp.zeros((1, h, w), jnp.float32)
+    opt = OptParams()
+
+    @jax.jit
+    def _step(state, adam, it):
+        return train_step(state, adam, cam, gt, zeros1, zeros1, it, bg,
+                          opt=opt, sh_degree=3, cfg=cfg)
+
+    it = jnp.int32(1000)
+
+    def step(*a):
+        return _step(state, adam, it)[2].loss
+
+    args = ()
+
+out = step(*args)
+jax.block_until_ready(out)
+t0 = time.perf_counter()
+for _ in range(5):
+    out = step(*args)
+jax.block_until_ready(out)
+print(f"wall: {(time.perf_counter() - t0) / 5 * 1e3:.2f} ms")
+
+with jax.profiler.trace("/tmp/jaxtrace"):
+    for _ in range(3):
+        out = step(*args)
+    jax.block_until_ready(out)
+
+# parse the trace: aggregate TPU op durations by name
+paths = sorted(glob.glob("/tmp/jaxtrace/**/*.trace.json.gz", recursive=True))
+trace = json.load(gzip.open(paths[-1]))
+events = {}
+for e in trace.get("traceEvents", []):
+    if e.get("ph") != "X" or "dur" not in e:
+        continue
+    pid_name = e.get("pid")
+    name = e.get("name", "")
+    # keep XLA op events (device lanes)
+    args_d = e.get("args") or {}
+    if "long_name" in args_d or "tf_op" in args_d or name.startswith("%"):
+        events[name] = events.get(name, 0.0) + e["dur"]
+# top 25 by time (dur in us, 3 steps)
+top = sorted(events.items(), key=lambda kv: -kv[1])[:25]
+for name, us in top:
+    print(f"{us / 3 / 1e3:8.3f} ms  {name[:110]}")

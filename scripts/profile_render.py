@@ -38,7 +38,8 @@ if __name__ == "__main__":
     from scorp_tpu.ops.raster.pallas_fwd import composite_stream_pallas
 
     xyz, shs, scales, quats, opacity, cam = build_scene()
-    cfg = RasterConfig(max_keys=1 << 21, tile_list_len=4096, chunk=64, pallas_chunk=256)
+    cfg = RasterConfig(max_keys=1 << 21, tile_list_len=4096, chunk=64,
+                       pallas_chunk=128, stream_keys=(1 << 20) + (1 << 19))
     bg = jnp.zeros(3, jnp.float32)
     w, h = cam.width, cam.height
     tiles_x, tiles_y = grid_dims(w, h)
@@ -54,7 +55,7 @@ if __name__ == "__main__":
 
     def sort_fn(xyz, shs, scales, quats, opacity):
         prep = prep_fn(xyz, shs, scales, quats, opacity)
-        tile, g_of_k, order, total = _expand_keys_core(prep, w, h, cfg.max_keys)
+        tile, g_of_k, *_ = _expand_keys_core(prep, w, h, cfg.max_keys)
         return jax.lax.sort((tile, jnp.maximum(g_of_k, 0)), num_keys=1, is_stable=True)
 
     def bins_fn(xyz, shs, scales, quats, opacity):
@@ -89,5 +90,15 @@ if __name__ == "__main__":
           f"p99 {np.percentile(counts, 99):.0f}")
     prep = jax.jit(prep_fn)(*args)
     print(f"valid gaussians: {int(jnp.sum(prep.valid))} / {xyz.shape[0]}")
+
+    # ellipse-tile cull ratio on this scene (now integrated in the expansion)
+    def cull_fn(xyz, shs, scales, quats, opacity):
+        prep = prep_fn(xyz, shs, scales, quats, opacity)
+        out = _expand_keys_core(prep, w, h, cfg.max_keys, cull=True)
+        return out[7], jnp.minimum(out[3], cfg.max_keys)
+
+    kept, tot = jax.jit(cull_fn)(*args)
+    print(f"ellipse-tile cull: keep {int(kept)} / {int(tot)} "
+          f"({100.0 * int(kept) / max(int(tot), 1):.1f}%)")
     n_chunks = np.ceil(((np.asarray(bins.tile_start) % 128) + counts) / cfg.pallas_chunk)
     print(f"fwd chunk iterations: {int(n_chunks.sum())} (chunk={cfg.pallas_chunk})")

@@ -23,9 +23,12 @@ class TestPallasForward:
             xyz, opa, CAM, BG, shs=shs, sh_degree=3, scales=scales, quats=quats,
             cfg=CFG, interpret=True,
         )
-        np.testing.assert_allclose(out_p.color, out_x.color, atol=3e-6)
-        np.testing.assert_allclose(out_p.alpha, out_x.alpha, atol=3e-6)
-        np.testing.assert_allclose(out_p.depth_accum, out_x.depth_accum, atol=3e-5)
+        # ~2e-5 relative: the kernel runs the transmittance recurrence in log
+        # space (exp/log round trip) and evaluates the Gaussian exponent in
+        # quadratic-basis form on the MXU — both reorder f32 arithmetic.
+        np.testing.assert_allclose(out_p.color, out_x.color, atol=5e-5)
+        np.testing.assert_allclose(out_p.alpha, out_x.alpha, atol=5e-5)
+        np.testing.assert_allclose(out_p.depth_accum, out_x.depth_accum, atol=2e-4)
         np.testing.assert_array_equal(out_p.radii, out_x.radii)
 
     def test_differentiable_path_forward(self):
@@ -37,7 +40,7 @@ class TestPallasForward:
             xyz, opa, CAM, BG, shs=shs, sh_degree=0, scales=scales, quats=quats,
             cfg=CFG, interpret=True,
         )
-        np.testing.assert_allclose(out_p.color, out_x.color, atol=3e-6)
+        np.testing.assert_allclose(out_p.color, out_x.color, atol=5e-5)
 
 
 class TestPallasVJP:

@@ -35,7 +35,12 @@ from ..train import (
 from ..train.step2d import Opt2DParams, train_step_2d
 from ..utils.progress import ProgressMeter
 from ..viewer.network_gui import gui_tick, maybe_create_gui
-from .train_3dgs import CameraSampler, load_checkpoint, save_checkpoint
+from .train_3dgs import (
+    CameraSampler,
+    GtDeviceCache,
+    load_checkpoint,
+    save_checkpoint,
+)
 
 
 def opt2d_from_args(opt: Optimization2DParams) -> Opt2DParams:
@@ -128,6 +133,7 @@ def training(dataset, opt: Optimization2DParams, pipe, testing_iterations,
     gui = maybe_create_gui(ip, port)
 
     sampler = CameraSampler(scene.get_train_cameras())
+    gt_cache = GtDeviceCache(scene.get_train_cameras())
     rng = np.random.default_rng(0)
     rng_key = jax.random.PRNGKey(0)
     # resume at the SH degree the schedule had reached (see train_3dgs)
@@ -152,13 +158,10 @@ def training(dataset, opt: Optimization2DParams, pipe, testing_iterations,
 
         cam, gt = sampler.next()
         bg = rng.uniform(size=3).astype(np.float32) if opt.random_background else bg_fixed
-        h, w = gt.image.shape[1], gt.image.shape[2]
-        zero_d = np.zeros((1, h, w), np.float32)
+        gt_img, gt_dcam, gt_dest = gt_cache.get(cam, gt)
         state, adam, metrics = train_step_2d(
             state, adam, cam.to_jax(),
-            jnp.asarray(gt.image),
-            jnp.asarray(gt.depth_cam if gt.depth_cam is not None else zero_d),
-            jnp.asarray(gt.depth_est if gt.depth_est is not None else zero_d),
+            gt_img, gt_dcam, gt_dest,
             jnp.int32(iteration), jnp.asarray(bg),
             opt=op, sh_degree=active_sh, cfg=cfg,
             has_depth_cam=gt.depth_cam is not None,

@@ -80,6 +80,50 @@ def opt_params_from_args(opt: OptimizationParams) -> OptParams:
     )
 
 
+class GtDeviceCache:
+    """Per-camera device-resident GT tensors.
+
+    Re-uploading the GT image (and zero depth maps) every step costs a
+    host->device transfer per iteration — megabytes per step that dwarf the
+    step itself on remote-attached TPUs. Cache the device arrays per camera
+    when the total fits a budget (the reference keeps GT on-GPU per camera
+    too); zero depth maps are shared per resolution either way.
+    """
+
+    def __init__(self, cameras, budget_bytes: int = 4 << 30):
+        est = sum(
+            c.image_width * c.image_height * 3 * 4
+            * (2 if c.depth_cam_path is not None else 1)
+            for c in cameras
+        )
+        self.enabled = est <= budget_bytes
+        self.imgs: dict = {}
+        self.zeros: dict = {}
+
+    def _zero(self, h, w):
+        z = self.zeros.get((h, w))
+        if z is None:
+            z = jnp.zeros((1, h, w), jnp.float32)
+            self.zeros[(h, w)] = z
+        return z
+
+    def get(self, cam, gt):
+        h, w = gt.image.shape[1], gt.image.shape[2]
+        zero_d = self._zero(h, w)
+        key = id(cam)
+        hit = self.enabled and key in self.imgs
+        if hit:
+            return self.imgs[key]
+        val = (
+            jnp.asarray(gt.image),
+            jnp.asarray(gt.depth_cam) if gt.depth_cam is not None else zero_d,
+            jnp.asarray(gt.depth_est) if gt.depth_est is not None else zero_d,
+        )
+        if self.enabled:
+            self.imgs[key] = val
+        return val
+
+
 class CameraSampler:
     """Random-camera-without-replacement stack + background GT prefetch."""
 
@@ -239,6 +283,7 @@ def training(
     gui = maybe_create_gui(ip, port)
 
     sampler = CameraSampler(scene.get_train_cameras())
+    gt_cache = GtDeviceCache(scene.get_train_cameras())
     rng = np.random.default_rng(0)
     rng_key = jax.random.PRNGKey(0)
     # a restored run resumes at the SH degree the schedule had reached
@@ -266,13 +311,10 @@ def training(
 
         cam, gt = sampler.next()
         bg = rng.uniform(size=3).astype(np.float32) if opt.random_background else bg_fixed
-        h, w = gt.image.shape[1], gt.image.shape[2]
-        zero_d = np.zeros((1, h, w), np.float32)
+        gt_img, gt_dcam, gt_dest = gt_cache.get(cam, gt)
         state, adam, metrics = train_step(
             state, adam, cam.to_jax(),
-            jnp.asarray(gt.image),
-            jnp.asarray(gt.depth_cam if gt.depth_cam is not None else zero_d),
-            jnp.asarray(gt.depth_est if gt.depth_est is not None else zero_d),
+            gt_img, gt_dcam, gt_dest,
             jnp.int32(iteration), jnp.asarray(bg),
             opt=op, sh_degree=active_sh, cfg=cfg,
             has_depth_cam=gt.depth_cam is not None,

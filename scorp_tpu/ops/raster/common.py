@@ -482,6 +482,24 @@ def _expand_keys(prep: Preprocessed, width: int, height: int, k_cap: int):
     return sorted_tile, sorted_pos, order, total
 
 
+def _tile_sort(tile, g_of_k, num_tiles: int, n: int):
+    """Stable-by-construction tile sort of (tile, depth-rank) keys.
+
+    The payload g_of_k is a rank in depth-sorted order, so it is < n (the
+    gaussian capacity), not < K: when (num_tiles+1)·2^bits(n) fits in a
+    positive i32, pack both into ONE sort key — a single-operand sort costs
+    half the two-operand form, and the pack preserves depth order within
+    each tile exactly (ranks are unique, so stability is free).
+    """
+    g = jnp.maximum(g_of_k, 0)
+    bits_g = max(1, int(n - 1).bit_length())
+    if (num_tiles + 1) << bits_g <= (1 << 31) - 1:
+        packed = (tile << bits_g) | g
+        s = jax.lax.sort(packed, is_stable=False)
+        return s >> bits_g, s & ((1 << bits_g) - 1)
+    return jax.lax.sort((tile, g), num_keys=1, is_stable=True)
+
+
 def _tile_bounds(sorted_tile: jnp.ndarray, num_tiles: int):
     tid_range = jnp.arange(num_tiles + 1, dtype=jnp.int32)
     bounds = jnp.searchsorted(sorted_tile, tid_range, side="left").astype(jnp.int32)
@@ -528,9 +546,7 @@ def bin_stream(prep: Preprocessed, width: int, height: int, cfg: RasterConfig) -
     # culled + out-of-range keys carry the num_tiles sentinel, so the stable
     # tile sort moves them past every live key: slicing the sorted stream to
     # the (smaller) post-cull capacity is the compaction, for free
-    sorted_tile, g_sorted = jax.lax.sort(
-        (tile, jnp.maximum(g_of_k, 0)), num_keys=1, is_stable=True
-    )
+    sorted_tile, g_sorted = _tile_sort(tile, g_of_k, num_tiles, n)
     sorted_tile = sorted_tile[:k2]
     g_sorted = g_sorted[:k2]
     key_rows = fast_gather_rows(table, g_sorted)  # [K2, 11] the one big gather

@@ -35,6 +35,7 @@ from .common import (
     RasterConfig,
     _expand_keys_core,
     _tile_bounds,
+    _tile_sort,
     fast_gather_rows,
     gather_rows_u16,
     grid_dims,
@@ -139,7 +140,7 @@ def _make_composite(width: int, height: int, cfg: RasterConfig, interpret: bool)
     return composite
 
 
-def _aligned_routing(prep_sg, width, height, cfg):
+def _aligned_routing(prep_sg, width, height, cfg, cull: bool = True):
     """Integer routing for the aligned training stream.
 
     Returns (g_pad [K_al] clamped gather ids, g_drop [K_al] scatter ids with
@@ -154,10 +155,10 @@ def _aligned_routing(prep_sg, width, height, cfg):
     k_al = k2 + num_tiles * chunk
 
     tile, g_of_k, order, total, _, _, _, kept = _expand_keys_core(
-        prep_sg, width, height, k, cull=True
+        prep_sg, width, height, k, cull=cull
     )
-    sorted_tile, g_sorted = jax.lax.sort(
-        (tile, jnp.maximum(g_of_k, 0)), num_keys=1, is_stable=True
+    sorted_tile, g_sorted = _tile_sort(
+        tile, g_of_k, num_tiles, prep_sg.xy.shape[0]
     )
     # culled/out-of-range keys sorted past the end; the slice compacts
     sorted_tile = sorted_tile[:k2]

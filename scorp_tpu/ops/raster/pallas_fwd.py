@@ -144,8 +144,8 @@ def _fwd_kernel(
     out_alpha_ref,   # [G, 1, P]
     out_ncontrib_ref,  # [G, 1, P] i32: keys processed before termination
     # scratch
-    chunk_vmem,      # [G+2, 16, C] f32 (per-tile chunk-0 slots + 2 rotating)
-    sem,             # [G+2] DMA semaphores
+    chunk_vmem,      # [G+3, 16, C] f32 (per-tile chunk-0 slots + 3 rotating)
+    sem,             # [G+3] DMA semaphores
     *,
     tiles_x: int,
     chunk: int,
@@ -194,16 +194,22 @@ def _fwd_kernel(
             def _(start=start, g=g):
                 _copy(start, jnp.int32(0), g).start()
 
+        # 2-deep pipeline: chunk 1 goes in flight before the loop, and each
+        # iteration prefetches ci+2, so a chunk's DMA has ~2 compute bodies
+        # of lookahead to cover HBM latency
+        @pl.when(n_chunks > 1)
+        def _(start=start):
+            _copy(start, jnp.int32(1), group).start()
+
         def body(carry, g=g, start=start, head=head, count=count,
                  n_chunks=n_chunks, tx_px=tx_px, ty_px=ty_px):
             ci, t_carry, stopped, acc_c, acc_d, n_con = carry
-            slot = jnp.where(ci == 0, g, group + ci % 2)
-            next_slot = group + (ci + 1) % 2
+            slot = jnp.where(ci == 0, g, group + (ci - 1) % 3)
             _copy(start, ci, slot).wait()
 
-            @pl.when(ci + 1 < n_chunks)
+            @pl.when(ci + 2 < n_chunks)
             def _():
-                _copy(start, ci + 1, next_slot).start()
+                _copy(start, ci + 2, group + (ci + 1) % 3).start()
 
             cur = chunk_vmem.at[slot]
 
@@ -280,11 +286,14 @@ def _fwd_kernel(
             cond, body, (jnp.int32(0), t0, stop0, acc_c0, acc_d0, n0)
         )
 
-        # drain the in-flight prefetch if the loop exited early
-        @pl.when(ci_final < n_chunks)
-        def _(g=g, start=start, ci_final=ci_final):
-            slot = jnp.where(ci_final == 0, g, group + ci_final % 2)
-            _copy(start, ci_final, slot).wait()
+        # drain in-flight prefetches if the loop exited early (up to two:
+        # ci_final and ci_final+1 — the 2-deep pipeline keeps both in flight)
+        for d in (0, 1):
+            @pl.when(ci_final + d < n_chunks)
+            def _(g=g, start=start, ci_final=ci_final, d=d):
+                ci_d = ci_final + d
+                slot = jnp.where(ci_d == 0, g, group + (ci_d - 1) % 3)
+                _copy(start, ci_d, slot).wait()
 
         t_row = t_final.reshape(1, p)
         bg = bg_ref
@@ -339,7 +348,7 @@ def _composite_kernel_call(
     tile_start_p = jnp.pad(tile_start, (0, pad))
     tile_count_p = jnp.pad(tile_count, (0, pad))
 
-    n_slots = group + 2
+    n_slots = group + 3
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_groups,),

@@ -30,7 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .common import TILE, RasterConfig, _expand_keys_core, _tile_bounds, grid_dims
-from .pallas_fwd import _masked_cumprod_lanes, tiles_cp_to_image
+from .pallas_fwd import _mm, _strict_lower_tri, tiles_cp_to_image
 from .surfel import (
     ALPHA_MAX,
     ALPHA_MIN,
@@ -114,6 +114,7 @@ def _surfel_fwd_kernel(
     pix_y = (ty * TILE) + (pix_row // TILE).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     lane_f = lane.astype(jnp.float32)
+    ltri = _strict_lower_tri(chunk)
 
     def _copy(ci, slot):
         offset = pl.multiple_of(base + ci * chunk, 128)
@@ -168,13 +169,14 @@ def _surfel_fwd_kernel(
         valid = (kpos >= head) & (kpos < head + count)
         alpha = jnp.where(valid & (alpha >= ALPHA_MIN) & (z >= NEAR_PLANE), alpha, 0.0)
 
-        cum_incl = _masked_cumprod_lanes(1.0 - alpha, chunk)
-        t_after = t_carry * cum_incl
+        # exclusive (1-alpha) product in log space: one triangular MXU
+        # contraction replaces the log2(C)-step Hillis-Steele (pallas_fwd)
+        cum_excl = jnp.exp(_mm(jnp.log(1.0 - alpha), ltri, ((1,), (0,))))
+        t_before = t_carry * cum_excl
+        t_after = t_before * (1.0 - alpha)
         # reference sticky-done rule across chunks (see pallas_fwd.py);
         # f32 0/1 carry — Mosaic can't legalize i1 while-loop carries
         include = jnp.logical_and(stopped < 0.5, t_after >= T_EPS)
-        cum_before = cum_incl / (1.0 - alpha)
-        t_before = t_carry * cum_before
         w = jnp.where(include, alpha * t_before, 0.0)
 
         colors = cur[14:17, :]
@@ -200,9 +202,10 @@ def _surfel_fwd_kernel(
         m = (FAR_PLANE / (FAR_PLANE - NEAR_PLANE)) * (1.0 - NEAR_PLANE / jnp.maximum(z, 1e-6))
         wm = w * m
         wm2 = wm * m
-        a_pre = a_run + _masked_cumsum_lanes(w, chunk) - w
-        d_pre = d_run + _masked_cumsum_lanes(wm, chunk) - wm
-        d2_pre = d2_run + _masked_cumsum_lanes(wm2, chunk) - wm2
+        # exclusive prefix sums as MXU triangular contractions (exact f32)
+        a_pre = a_run + _mm(w, ltri, ((1,), (0,)))
+        d_pre = d_run + _mm(wm, ltri, ((1,), (0,)))
+        d2_pre = d2_run + _mm(wm2, ltri, ((1,), (0,)))
         acc_dist = acc_dist + jnp.sum(
             w * (m * m * a_pre + d2_pre - 2.0 * m * d_pre), axis=1, keepdims=True
         )

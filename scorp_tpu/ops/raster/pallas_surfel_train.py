@@ -15,8 +15,10 @@ gs2dgs/gaussian_renderer/__init__.py:111-154):
     output, dL/dw_i collapses to m^2(A-w) + (D2-w m^2) - 2m(D-w m) and
     dL/dm_i to 2w(m(A-w) - (D-w m)) because prefix+suffix sums telescope;
   * the backward kernel re-walks each tile back-to-front like
-    pallas_bwd.py (reverse Hillis-Steele transmittance reconstruction,
-    suffix sums of w*u), recomputes the ray-splat homography, and emits
+    pallas_bwd.py (log-space transmittance reconstruction and suffix sums
+    of w*u as triangular MXU contractions, double-buffered reads and
+    pipelined gradient write-out), recomputes the ray-splat homography,
+    and emits
     per-key gradients for all 21 stream rows (M 9, zrow 3, center xy 2,
     color 3, opacity 1, normal 3) at chunk-aligned stream positions;
   * gradients through the alpha=0.99 clamp propagate unconditionally
@@ -35,13 +37,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .common import RasterConfig, TILE, fast_gather_rows, gather_rows_u16, grid_dims
 from .pallas import _aligned_routing, _f32, _i32
-from .pallas_fwd import (
-    _cumprod_excl_lanes,
-    _masked_cumprod_lanes,
-    tiles_cp_to_image,
-)
-from .pallas_bwd import _rev_cumsum_mxu, _rev_scan_lanes, _suffix_tri
-from .pallas_surfel import SURFEL_ROWS, _masked_cumsum_lanes
+from .pallas_fwd import _mm, _strict_lower_tri, tiles_cp_to_image
+from .pallas_bwd import _rev_cumsum_mxu, _suffix_tri
+from .pallas_surfel import SURFEL_ROWS
 from .surfel import (
     ALPHA_MAX,
     ALPHA_MIN,
@@ -130,6 +128,7 @@ def _surfel_train_fwd_kernel(
     pix_x = (tx * TILE) + (pix_row % TILE).astype(jnp.float32)
     pix_y = (ty * TILE) + (pix_row // TILE).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    ltri = _strict_lower_tri(chunk)
 
     def _copy(ci, slot):
         offset = pl.multiple_of(start + ci * chunk, 128)
@@ -158,7 +157,9 @@ def _surfel_train_fwd_kernel(
         valid = kpos < count
         alpha = jnp.where(valid & (alpha >= ALPHA_MIN) & (z >= NEAR_PLANE), alpha, 0.0)
 
-        cum_excl = _cumprod_excl_lanes(1.0 - alpha, chunk)
+        # exclusive (1-alpha) product in log space: one triangular MXU
+        # contraction replaces the log2(C)-step Hillis-Steele (see pallas_fwd)
+        cum_excl = jnp.exp(_mm(jnp.log(1.0 - alpha), ltri, ((1,), (0,))))
         t_before = t_carry * cum_excl
         t_after = t_before * (1.0 - alpha)
         include = jnp.logical_and(stopped < 0.5, t_after >= T_EPS)
@@ -193,9 +194,10 @@ def _surfel_train_fwd_kernel(
         m = FF * (1.0 - NEAR_PLANE / jnp.maximum(z, 1e-6))
         wm = w * m
         wm2 = wm * m
-        a_pre = a_run + _masked_cumsum_lanes(w, chunk) - w
-        d_pre = d_run + _masked_cumsum_lanes(wm, chunk) - wm
-        d2_pre = d2_run + _masked_cumsum_lanes(wm2, chunk) - wm2
+        # exclusive prefix sums as MXU triangular contractions (exact f32)
+        a_pre = a_run + _mm(w, ltri, ((1,), (0,)))
+        d_pre = d_run + _mm(wm, ltri, ((1,), (0,)))
+        d2_pre = d2_run + _mm(wm2, ltri, ((1,), (0,)))
         acc_dist = acc_dist + jnp.sum(
             w * (m * m * a_pre + d2_pre - 2.0 * m * d_pre), axis=1, keepdims=True
         )
@@ -290,16 +292,33 @@ def _surfel_bwd_kernel(
     max_inc = jnp.minimum(jnp.max(n_con_col), count)
     hi = (max_inc + chunk - 1) // chunk
 
-    def body(carry):
-        ci, t_run, s_run = carry
+    def _copy_in(ci, slot):
         offset = pl.multiple_of(start + ci * chunk, 128)
-        copy = pltpu.make_async_copy(
-            data_ref.at[:, pl.ds(offset, chunk)], chunk_vmem, sem_in
+        return pltpu.make_async_copy(
+            data_ref.at[:, pl.ds(offset, chunk)], chunk_vmem.at[slot],
+            sem_in.at[slot],
         )
-        copy.start()
-        copy.wait()
 
-        cur = chunk_vmem
+    def _wait_out(slot_idx):
+        pltpu.make_async_copy(
+            grad_vmem.at[slot_idx], out_grads_ref.at[0], sem_out.at[slot_idx]
+        ).wait()
+
+    # reverse-walk pipeline: the last chunk goes in flight before the loop
+    @pl.when(hi > 0)
+    def _():
+        _copy_in(hi - 1, (hi - 1) % 2).start()
+
+    def body(carry):
+        ci, t_run, s_run, w0, w1 = carry
+        in_slot = ci % 2
+
+        @pl.when(ci - 1 >= 0)
+        def _():
+            _copy_in(ci - 1, (ci - 1) % 2).start()
+
+        _copy_in(ci, in_slot).wait()
+        cur = chunk_vmem.at[in_slot]
         geo = _surfel_geometry(cur, pix_x, pix_y)
         alpha, z = geo["alpha"], geo["z"]
         alpha_u, big_g = geo["alpha_u"], geo["big_g"]
@@ -318,8 +337,10 @@ def _surfel_bwd_kernel(
 
         include = in_seg & (kpos < n_con_col)               # [p, C]
         om = jnp.where(include, 1.0 - alpha_eff, 1.0)
-        revprod = _rev_scan_lanes(om, chunk, jnp.multiply, 1.0)
-        t_before = t_run / revprod
+        # T_before = T_run / prod_{j>=i} om_j, reconstructed in log space via
+        # one triangular MXU contraction (alpha <= 0.99 bounds each term)
+        revlog = _mm(jnp.log(om), tri, ((1,), (0,)))
+        t_before = t_run * jnp.exp(-revlog)
         w = jnp.where(include, alpha_eff * t_before, 0.0)
 
         m = FF * (1.0 - NEAR_PLANE / jnp.maximum(z, 1e-6))
@@ -396,45 +417,68 @@ def _surfel_bwd_kernel(
         def pxsum(x):
             return jnp.sum(x, axis=0, keepdims=True)        # [1, C]
 
-        grad_vmem[0:1, :] = pxsum(d_hux)
-        grad_vmem[1:2, :] = pxsum(d_huy)
-        grad_vmem[2:3, :] = pxsum(d_huz)
-        grad_vmem[3:4, :] = pxsum(d_hvx)
-        grad_vmem[4:5, :] = pxsum(d_hvy)
-        grad_vmem[5:6, :] = pxsum(d_hvz)
-        grad_vmem[6:7, :] = pxsum(-pix_x * d_hux - pix_y * d_hvx)
-        grad_vmem[7:8, :] = pxsum(-pix_x * d_huy - pix_y * d_hvy)
-        grad_vmem[8:9, :] = pxsum(-pix_x * d_huz - pix_y * d_hvz)
-        grad_vmem[9:10, :] = pxsum(d_zu_px)
-        grad_vmem[10:11, :] = pxsum(d_zv_px)
-        grad_vmem[11:12, :] = pxsum(d_zc_px)
-        grad_vmem[12:13, :] = pxsum(d_cx_px)
-        grad_vmem[13:14, :] = pxsum(d_cy_px)
-        grad_vmem[14:17, :] = jax.lax.dot_general(
+        d_color = jax.lax.dot_general(
             g_c, w, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
         )
-        grad_vmem[17:18, :] = pxsum(d_opa_px)
-        grad_vmem[18:21, :] = jax.lax.dot_general(
+        d_normal = jax.lax.dot_general(
             g_n, w, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
         )
-        grad_vmem[21:24, :] = jnp.zeros((3, chunk), jnp.float32)
+        g24 = jnp.concatenate(
+            [
+                pxsum(d_hux), pxsum(d_huy), pxsum(d_huz),
+                pxsum(d_hvx), pxsum(d_hvy), pxsum(d_hvz),
+                pxsum(-pix_x * d_hux - pix_y * d_hvx),
+                pxsum(-pix_x * d_huy - pix_y * d_hvy),
+                pxsum(-pix_x * d_huz - pix_y * d_hvz),
+                pxsum(d_zu_px), pxsum(d_zv_px), pxsum(d_zc_px),
+                pxsum(d_cx_px), pxsum(d_cy_px),
+                d_color, pxsum(d_opa_px), d_normal,
+                jnp.zeros((3, chunk), jnp.float32),
+            ],
+            axis=0,
+        )                                                   # [24, C]
 
-        wcopy = pltpu.make_async_copy(grad_vmem, out_grads_ref.at[cbase + ci], sem_out)
-        wcopy.start()
-        wcopy.wait()
+        # pipelined write-out: reuse a slot only once its DMA completed
+        w_slot = ci % 2
+        for k in (0, 1):
+            pend = w0 if k == 0 else w1
 
-        t_run = t_run / revprod[:, 0:1]
+            @pl.when((w_slot == k) & (pend > 0.5))
+            def _(k=k):
+                _wait_out(k)
+
+            @pl.when(w_slot == k)
+            def _(k=k):
+                grad_vmem[k] = g24
+                pltpu.make_async_copy(
+                    grad_vmem.at[k], out_grads_ref.at[cbase + ci], sem_out.at[k]
+                ).start()
+
+        is0 = (w_slot == 0).astype(jnp.float32)
+        w0 = jnp.maximum(w0, is0)
+        w1 = jnp.maximum(w1, 1.0 - is0)
+
+        t_run = t_run * jnp.exp(-revlog[:, 0:1])
         s_run = s_run + revsum_incl[:, 0:1]
-        return ci - 1, t_run, s_run
+        return ci - 1, t_run, s_run, w0, w1
 
     def cond(carry):
         return carry[0] >= 0
 
     t0 = t_final_row.reshape(p, 1)
     s0 = jnp.zeros((p, 1), jnp.float32)
-    jax.lax.while_loop(cond, body, (hi - 1, t0, s0))
+    zf = jnp.float32(0.0)
+    _, _, _, w0, w1 = jax.lax.while_loop(cond, body, (hi - 1, t0, s0, zf, zf))
+
+    @pl.when(w0 > 0.5)
+    def _():
+        _wait_out(0)
+
+    @pl.when(w1 > 0.5)
+    def _():
+        _wait_out(1)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "cfg", "interpret"))
@@ -506,10 +550,10 @@ def _surfel_bwd_call(
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((SURFEL_ROWS, chunk), jnp.float32),
-            pltpu.VMEM((SURFEL_ROWS, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, SURFEL_ROWS, chunk), jnp.float32),
+            pltpu.VMEM((2, SURFEL_ROWS, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
@@ -638,8 +682,10 @@ def rasterize_surfel_pallas(
         scale_modifier=scale_modifier, screen_deltas=screen_deltas, alive=alive,
     )
     prep_sg = jax.lax.stop_gradient(_surfel_prep_to_common(prep))
+    # cull=False: the ellipse-tile cull needs a 3DGS conic; surfel prep
+    # carries none (the adapter zeroes it, making the test a no-op anyway)
     g_pad, g_drop, aligned_start, tile_count, dropped, order = _aligned_routing(
-        prep_sg, w, h, cfg
+        prep_sg, w, h, cfg, cull=False
     )
 
     n = means3d.shape[0]

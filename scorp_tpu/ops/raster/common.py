@@ -398,17 +398,20 @@ def _expand_keys_core(
             ),
             order,
         )
-        gx_fp = jnp.clip(
-            jnp.round((geo[:, 0] - x0.astype(jnp.float32) * TILE) * 32.0),
-            0, 65535,
-        ).astype(jnp.int32)
-        gy_fp = jnp.clip(
-            jnp.round((geo[:, 1] - y0.astype(jnp.float32) * TILE) * 32.0),
-            0, 65535,
-        ).astype(jnp.int32)
+        gx_rel = geo[:, 0] - x0.astype(jnp.float32) * TILE
+        gy_rel = geo[:, 1] - y0.astype(jnp.float32) * TILE
+        gx_fp = jnp.clip(jnp.round(gx_rel * 32.0), 0, 65535).astype(jnp.int32)
+        gy_fp = jnp.clip(jnp.round(gy_rel * 32.0), 0, 65535).astype(jnp.int32)
         t2 = jnp.maximum(
             2.0 * jnp.log(jnp.maximum(geo[:, 5], 1e-12) * 255.0), 0.0
         )
+        # the u16 fixed point covers 2048 px of rect-relative center; beyond
+        # it the clamp can move the center AWAY from mid-rect tiles (not
+        # conservative) — force-keep such keys via an infinite threshold.
+        # (clamping negatives to 0 only moves the center toward in-rect
+        # tiles, which is conservative.)
+        overflow = (gx_rel > 2047.0) | (gy_rel > 2047.0)
+        t2 = jnp.where(overflow, jnp.float32(jnp.inf), t2)
         cols += [
             _diff((gx_fp << 16) | gy_fp),
             _diff((_bf16_bits(geo[:, 2]) << 16) | _bf16_bits(geo[:, 3])),

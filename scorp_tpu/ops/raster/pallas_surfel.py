@@ -29,7 +29,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import TILE, RasterConfig, _expand_keys_core, _tile_bounds, grid_dims
+from .common import (
+    TILE,
+    RasterConfig,
+    _expand_keys_core,
+    _tile_bounds,
+    _tile_sort,
+    grid_dims,
+)
 from .pallas_fwd import _mm, _strict_lower_tri, tiles_cp_to_image
 from .surfel import (
     ALPHA_MAX,
@@ -74,9 +81,7 @@ def surfel_stream(prep: SurfelPrep, width: int, height: int, cfg: RasterConfig):
         axis=1,
     )[order]  # [N, 21]
 
-    sorted_tile, g_sorted = jax.lax.sort(
-        (tile, jnp.maximum(g_of_k, 0)), num_keys=1, is_stable=True
-    )
+    sorted_tile, g_sorted = _tile_sort(tile, g_of_k, num_tiles, n)
     key_rows = table[g_sorted]  # [K, 21]
     data = jnp.concatenate(
         [key_rows.T, jnp.zeros((SURFEL_ROWS - key_rows.shape[1], k_cap), jnp.float32)],

@@ -216,3 +216,57 @@ class TestGradients:
         norms = np.linalg.norm(np.asarray(g), axis=1)
         assert norms[visible].max() > 0
         assert np.all(norms[~visible] == 0)
+
+
+class TestEllipseTileCull:
+    """The in-expansion exact ellipse-vs-tile cull must never drop a key
+    whose gaussian reaches alpha >= 1/255 anywhere on its tile (such a drop
+    would change the composite); verified brute-force per surviving vs
+    culled key."""
+
+    def _max_tile_alpha(self, prep, ktx, kty, g_of_k, order):
+        """Brute-force max alpha of key's gaussian over its 16x16 tile."""
+        xy = np.asarray(prep.xy)[np.asarray(order)]
+        conic = np.asarray(prep.conic)[np.asarray(order)]
+        opa = np.asarray(prep.opacity)[np.asarray(order)]
+        px = np.arange(16)[None, :] + 16 * np.asarray(ktx)[:, None]  # [K,16]
+        py = np.arange(16)[None, :] + 16 * np.asarray(kty)[:, None]
+        g = np.asarray(g_of_k)
+        out = []
+        for k in range(len(g)):
+            gx, gy = xy[g[k]]
+            a, b, c = conic[g[k]]
+            X, Y = np.meshgrid(px[k], py[k])
+            d_x, d_y = gx - X, gy - Y
+            power = -0.5 * (a * d_x**2 + c * d_y**2) - b * d_x * d_y
+            alpha = np.minimum(0.99, opa[g[k]] * np.exp(np.minimum(power, 0.0)))
+            alpha = np.where(power > 0.0, 0.0, alpha)
+            out.append(alpha.max())
+        return np.array(out)
+
+    def test_cull_is_output_invariant(self):
+        from scorp_tpu.ops.raster.common import _expand_keys_core, preprocess
+
+        xyz, scales, quats, opa, shs = make_scene(n=96, seed=21, scale=0.15,
+                                                  opacity_logit=-0.5)
+        prep = preprocess(xyz, opa, CAM, shs=shs, sh_degree=1,
+                          scales=scales, quats=quats)
+        k_cap = CFG.max_keys
+        t0, g0, order, total, x0, y0, r0, kept0 = jax.jit(
+            lambda p: _expand_keys_core(p, 64, 48, k_cap, cull=False)
+        )(prep)
+        t1, g1, _, _, x1, y1, r1, kept1 = jax.jit(
+            lambda p: _expand_keys_core(p, 64, 48, k_cap, cull=True)
+        )(prep)
+        r0 = np.asarray(r0)
+        r1 = np.asarray(r1)
+        assert int(kept1) < int(kept0)  # the cull does something
+        # culled = in_range before but not after
+        culled = r0 & ~r1
+        keptm = r1
+        amax = self._max_tile_alpha(prep, x0, y0, np.maximum(np.asarray(g0), 0),
+                                    order)
+        # no culled key reaches the alpha threshold on its tile
+        assert amax[culled].max(initial=0.0) < 1.0 / 255.0
+        # sanity: plenty of kept keys do contribute
+        assert (amax[keptm] >= 1.0 / 255.0).mean() > 0.3

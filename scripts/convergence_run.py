@@ -45,9 +45,16 @@ def make_scene_gaussians(n=40_000, seed=7):
     clutter = centers[idx] + rng.normal(0, 0.25, size=(n - n_wall, 3))
     xyz = np.concatenate([walls, clutter]).astype(np.float32)
     n = len(xyz)
-    colors = rng.uniform(0.1, 0.9, size=(n, 3)).astype(np.float32)
+    # spatially-smooth colors + tame view dependence: a natural scene is
+    # fittable — per-gaussian independent color/SH noise is not (gradients
+    # never decay and densification runs away, on the reference too)
+    freqs = rng.normal(0, 1.2, size=(3, 3))
+    phases = rng.uniform(0, 2 * np.pi, size=3)
+    colors = 0.5 + 0.35 * np.sin(xyz @ freqs.T + phases)
+    colors = np.clip(colors + rng.normal(0, 0.03, size=(n, 3)), 0.05, 0.95)
+    colors = colors.astype(np.float32)
     k = 16
-    f_rest = rng.normal(0, 0.02, size=(n, k - 1, 3)).astype(np.float32)
+    f_rest = rng.normal(0, 0.004, size=(n, k - 1, 3)).astype(np.float32)
     return GaussianData(
         xyz=xyz,
         f_dc=rgb_to_sh(colors).reshape(n, 1, 3).astype(np.float32),

@@ -306,3 +306,38 @@ class TestPerceptualProxy:
         res = evaluate_dirs(str(tmp_path / "pred"), str(tmp_path / "gt"))
         assert res["lpips_backend"] == "lpips_proxy"
         assert res["lpips_proxy"] is not None and res["lpips_proxy"] > 0
+
+
+class TestGtDeviceCache:
+    def test_caches_by_camera_and_budget(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from scorp_tpu.apps.train_3dgs import GtDeviceCache
+        from scorp_tpu.scene.cameras import GroundTruth
+
+        class FakeCam:
+            def __init__(self, w, h):
+                self.image_width = w
+                self.image_height = h
+                self.depth_cam_path = None
+
+        cams = [FakeCam(8, 6), FakeCam(8, 6)]
+        cache = GtDeviceCache(cams)
+        assert cache.enabled
+        img = np.random.default_rng(0).uniform(size=(3, 6, 8)).astype(np.float32)
+        gt = GroundTruth(image=img, alpha=None, depth_cam=None, depth_est=None)
+        a1 = cache.get(cams[0], gt)
+        a2 = cache.get(cams[0], gt)
+        assert a1[0] is a2[0]  # device array reused, no re-upload
+        assert float(jnp.abs(a1[1]).max()) == 0.0  # shared zero depth map
+        # distinct camera -> distinct entry
+        b1 = cache.get(cams[1], gt)
+        assert b1[0] is not a1[0]
+        # over-budget -> caching disabled but still functional
+        small = GtDeviceCache(cams, budget_bytes=10)
+        assert not small.enabled
+        c1 = small.get(cams[0], gt)
+        c2 = small.get(cams[0], gt)
+        assert c1[0] is not c2[0]
+        np.testing.assert_allclose(np.asarray(c1[0]), img)

@@ -270,3 +270,22 @@ class TestEllipseTileCull:
         assert amax[culled].max(initial=0.0) < 1.0 / 255.0
         # sanity: plenty of kept keys do contribute
         assert (amax[keptm] >= 1.0 / 255.0).mean() > 0.3
+
+
+class TestTileSort:
+    def test_packed_equals_two_column(self):
+        from scorp_tpu.ops.raster.common import _tile_sort
+
+        rng = np.random.default_rng(3)
+        tile = jnp.asarray(rng.integers(0, 40, size=500, dtype=np.int32))
+        g = jnp.asarray(np.sort(rng.integers(0, 200, size=500)).astype(np.int32))
+        # packed path (small n) vs forced two-column fallback (huge n)
+        t1, g1 = jax.jit(lambda t, g: _tile_sort(t, g, 40, 256))(tile, g)
+        t2, g2 = jax.jit(lambda t, g: _tile_sort(t, g, 40, 1 << 28))(tile, g)
+        np.testing.assert_array_equal(t1, t2)
+        np.testing.assert_array_equal(g1, g2)
+        # sorted by tile, depth-rank ascending within tile
+        t1 = np.asarray(t1); g1 = np.asarray(g1)
+        assert (np.diff(t1) >= 0).all()
+        for t in np.unique(t1):
+            assert (np.diff(g1[t1 == t]) >= 0).all()

@@ -117,6 +117,7 @@ def bench_train_step(xyz, shs, scales, quats, opacity, cam, cfg):
     it = jnp.int32(1000)
     state, adam, metrics = step(state, adam, it)
     jax.block_until_ready(metrics)
+    assert int(metrics.num_dropped_keys) == 0, int(metrics.num_dropped_keys)
     n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
@@ -182,9 +183,11 @@ def main():
     from scorp_tpu.ops.raster import RasterConfig
 
     scene = build_scene()
-    # max_keys covers the pre-cull expansion (1.72M keys on this scene);
-    # stream_keys the post-ellipse-cull sorted stream (1.46M kept)
-    cfg = RasterConfig(max_keys=1 << 21, tile_list_len=4096, chunk=64,
+    # max_keys covers the pre-cull expansion (1.72M keys on this scene, fixed
+    # camera => deterministic); stream_keys the post-ellipse-cull sorted
+    # stream (1.46M kept). bench_render/bench_train assert zero drops.
+    cfg = RasterConfig(max_keys=(1 << 20) + (1 << 19) + (1 << 18),
+                       tile_list_len=4096, chunk=64,
                        pallas_chunk=128, stream_keys=(1 << 20) + (1 << 19))
     bench_render(*scene, cfg)
     bench_train_step(*scene, cfg)

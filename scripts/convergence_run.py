@@ -32,17 +32,21 @@ from scorp_tpu.ops.raster.xla import rasterize_xla
 
 def make_scene_gaussians(n=40_000, seed=7):
     rng = np.random.default_rng(seed)
-    # room-like: walls/floor slabs + furniture clusters
-    n_wall = n // 3
+    # room-like: a CLOSED box (cameras orbit inside it, like a real indoor
+    # capture — with random training backgrounds any void region is an
+    # unfittable gradient source that storms the densifier) + clutter
+    n_wall = n // 2
     walls = []
-    for axis, offset in ((0, -2.2), (0, 2.2), (1, -1.2), (2, 2.6)):
-        p = rng.uniform(-2.2, 2.2, size=(n_wall // 4, 3))
+    slabs = ((0, -2.6), (0, 2.6), (1, -1.6), (1, 1.6), (2, -2.6), (2, 2.6))
+    for axis, offset in slabs:
+        p = rng.uniform(-2.6, 2.6, size=(n_wall // 6, 3))
+        p[:, 1] = np.clip(p[:, 1], -1.6, 1.6)
         p[:, axis] = offset + rng.normal(0, 0.02, len(p))
         walls.append(p)
     walls = np.concatenate(walls)[:n_wall]
-    centers = rng.uniform(-1.8, 1.8, size=(40, 3)) * np.array([1, 0.4, 1])
+    centers = rng.uniform(-1.1, 1.1, size=(40, 3)) * np.array([1, 0.5, 1])
     idx = rng.integers(0, 40, size=n - n_wall)
-    clutter = centers[idx] + rng.normal(0, 0.25, size=(n - n_wall, 3))
+    clutter = centers[idx] + rng.normal(0, 0.2, size=(n - n_wall, 3))
     xyz = np.concatenate([walls, clutter]).astype(np.float32)
     n = len(xyz)
     # spatially-smooth colors + tame view dependence: a natural scene is
@@ -97,8 +101,9 @@ def build_dataset(root, n_views=96, width=800, height=600, fov=1.1, seed=7):
     rng = np.random.default_rng(seed + 3)
     for i in range(n_views):
         a = 2 * np.pi * i / n_views
-        radius = 4.6 + 0.5 * np.sin(3 * a)
-        height_i = 0.4 + 0.5 * np.sin(2 * a + 1)
+        # inside the closed room (walls at +-2.6, ceiling +-1.6)
+        radius = 1.8 + 0.25 * np.sin(3 * a)
+        height_i = 0.15 + 0.45 * np.sin(2 * a + 1)
         R_c2w, T_w2c = orbit_pose(a, radius, height_i)
         cam = make_camera_jax(R_c2w, T_w2c, fov, fov * height / width * 1.0,
                               width, height)

@@ -47,7 +47,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .common import TILE, RasterConfig, grid_dims
-from .pallas_fwd import GROUP, MXU_POWER, _mm, _pixel_basis, _power_coefs
+from .pallas_fwd import (
+    GROUP,
+    MXU_POWER,
+    SCAN_PREC,
+    _mm,
+    _pixel_basis,
+    _power_coefs,
+)
 
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
@@ -229,7 +236,7 @@ def _bwd_kernel(
 
             # T_before_i = T_run / prod_{j>=i} om_j, in log space: one
             # triangular MXU contraction + exp (each |log om| <= 4.6)
-            revlog = _mm(jnp.log(om), tri, ((1,), (0,)))               # [p, C]
+            revlog = _mm(jnp.log(om), tri, ((1,), (0,)), SCAN_PREC)     # [p, C]
             t_before = t_run * jnp.exp(-revlog)
             w = jnp.where(include, alpha_eff * t_before, 0.0)
 
@@ -238,7 +245,7 @@ def _bwd_kernel(
             u = u + g_d_col * depth
 
             wu = w * u
-            revsum_incl = _mm(wu, tri, ((1,), (0,)))
+            revsum_incl = _mm(wu, tri, ((1,), (0,)), SCAN_PREC)
             s_i = s_run + revsum_incl - wu                             # suffix j>i
 
             one_minus = jnp.where(amask, 1.0 - alpha_eff, 1.0)

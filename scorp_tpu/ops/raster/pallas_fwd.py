@@ -122,13 +122,19 @@ def _power_coefs(cur, tx_px, ty_px, chunk: int) -> jnp.ndarray:
     )
 
 
-def _mm(a, b, contract):
+def _mm(a, b, contract, precision=jax.lax.Precision.HIGHEST):
     return jax.lax.dot_general(
         a, b,
         dimension_numbers=(contract, ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     )
+
+
+# triangular scan contractions run at bf16x3 (3 MXU passes instead of 6):
+# |log(1-alpha)| <= 4.6 and the suffix-sum operands are loss-scaled, so the
+# ~1e-6 relative error is below the alpha-threshold tie noise
+SCAN_PREC = jax.lax.Precision.HIGH
 
 
 def _fwd_kernel(
@@ -236,7 +242,7 @@ def _fwd_kernel(
             # space: one triangular MXU contraction instead of a lane scan
             if MXU_SCAN:
                 logx = jnp.log(1.0 - alpha)                   # [p, C] <= 0
-                cum_excl = jnp.exp(_mm(logx, ltri, ((1,), (0,))))
+                cum_excl = jnp.exp(_mm(logx, ltri, ((1,), (0,)), SCAN_PREC))
             else:
                 cum_excl = _cumprod_excl_lanes(1.0 - alpha, chunk)
             t_before = t_carry * cum_excl

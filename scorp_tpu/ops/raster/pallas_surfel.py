@@ -37,7 +37,7 @@ from .common import (
     _tile_sort,
     grid_dims,
 )
-from .pallas_fwd import _mm, _strict_lower_tri, tiles_cp_to_image
+from .pallas_fwd import SCAN_PREC, _mm, _strict_lower_tri, tiles_cp_to_image
 from .surfel import (
     ALPHA_MAX,
     ALPHA_MIN,
@@ -176,7 +176,7 @@ def _surfel_fwd_kernel(
 
         # exclusive (1-alpha) product in log space: one triangular MXU
         # contraction replaces the log2(C)-step Hillis-Steele (pallas_fwd)
-        cum_excl = jnp.exp(_mm(jnp.log(1.0 - alpha), ltri, ((1,), (0,))))
+        cum_excl = jnp.exp(_mm(jnp.log(1.0 - alpha), ltri, ((1,), (0,)), SCAN_PREC))
         t_before = t_carry * cum_excl
         t_after = t_before * (1.0 - alpha)
         # reference sticky-done rule across chunks (see pallas_fwd.py);
@@ -208,9 +208,9 @@ def _surfel_fwd_kernel(
         wm = w * m
         wm2 = wm * m
         # exclusive prefix sums as MXU triangular contractions (exact f32)
-        a_pre = a_run + _mm(w, ltri, ((1,), (0,)))
-        d_pre = d_run + _mm(wm, ltri, ((1,), (0,)))
-        d2_pre = d2_run + _mm(wm2, ltri, ((1,), (0,)))
+        a_pre = a_run + _mm(w, ltri, ((1,), (0,)), SCAN_PREC)
+        d_pre = d_run + _mm(wm, ltri, ((1,), (0,)), SCAN_PREC)
+        d2_pre = d2_run + _mm(wm2, ltri, ((1,), (0,)), SCAN_PREC)
         acc_dist = acc_dist + jnp.sum(
             w * (m * m * a_pre + d2_pre - 2.0 * m * d_pre), axis=1, keepdims=True
         )

@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .common import RasterConfig, TILE, fast_gather_rows, gather_rows_u16, grid_dims
 from .pallas import _aligned_routing, _f32, _i32
-from .pallas_fwd import _mm, _strict_lower_tri, tiles_cp_to_image
+from .pallas_fwd import SCAN_PREC, _mm, _strict_lower_tri, tiles_cp_to_image
 from .pallas_bwd import _rev_cumsum_mxu, _suffix_tri
 from .pallas_surfel import SURFEL_ROWS
 from .surfel import (
@@ -159,7 +159,7 @@ def _surfel_train_fwd_kernel(
 
         # exclusive (1-alpha) product in log space: one triangular MXU
         # contraction replaces the log2(C)-step Hillis-Steele (see pallas_fwd)
-        cum_excl = jnp.exp(_mm(jnp.log(1.0 - alpha), ltri, ((1,), (0,))))
+        cum_excl = jnp.exp(_mm(jnp.log(1.0 - alpha), ltri, ((1,), (0,)), SCAN_PREC))
         t_before = t_carry * cum_excl
         t_after = t_before * (1.0 - alpha)
         include = jnp.logical_and(stopped < 0.5, t_after >= T_EPS)
@@ -195,9 +195,9 @@ def _surfel_train_fwd_kernel(
         wm = w * m
         wm2 = wm * m
         # exclusive prefix sums as MXU triangular contractions (exact f32)
-        a_pre = a_run + _mm(w, ltri, ((1,), (0,)))
-        d_pre = d_run + _mm(wm, ltri, ((1,), (0,)))
-        d2_pre = d2_run + _mm(wm2, ltri, ((1,), (0,)))
+        a_pre = a_run + _mm(w, ltri, ((1,), (0,)), SCAN_PREC)
+        d_pre = d_run + _mm(wm, ltri, ((1,), (0,)), SCAN_PREC)
+        d2_pre = d2_run + _mm(wm2, ltri, ((1,), (0,)), SCAN_PREC)
         acc_dist = acc_dist + jnp.sum(
             w * (m * m * a_pre + d2_pre - 2.0 * m * d_pre), axis=1, keepdims=True
         )
@@ -339,7 +339,7 @@ def _surfel_bwd_kernel(
         om = jnp.where(include, 1.0 - alpha_eff, 1.0)
         # T_before = T_run / prod_{j>=i} om_j, reconstructed in log space via
         # one triangular MXU contraction (alpha <= 0.99 bounds each term)
-        revlog = _mm(jnp.log(om), tri, ((1,), (0,)))
+        revlog = _mm(jnp.log(om), tri, ((1,), (0,)), SCAN_PREC)
         t_before = t_run * jnp.exp(-revlog)
         w = jnp.where(include, alpha_eff * t_before, 0.0)
 

@@ -131,10 +131,11 @@ def _mm(a, b, contract, precision=jax.lax.Precision.HIGHEST):
     )
 
 
-# triangular scan contractions run at bf16x3 (3 MXU passes instead of 6):
-# |log(1-alpha)| <= 4.6 and the suffix-sum operands are loss-scaled, so the
-# ~1e-6 relative error is below the alpha-threshold tie noise
-SCAN_PREC = jax.lax.Precision.HIGH
+# scan-contraction precision. bf16x3 (Precision.HIGH) would halve the MXU
+# passes and the log magnitudes (bounded by the 0.99 alpha clamp) could
+# afford it, but Mosaic's dot lowering only supports DEFAULT and HIGHEST —
+# HIGH raises NotImplementedError at compile time (interpret mode hides it).
+SCAN_PREC = jax.lax.Precision.HIGHEST
 
 
 def _fwd_kernel(

@@ -35,7 +35,7 @@ def make_scene_gaussians(n=40_000, seed=7):
     # room-like: a CLOSED box (cameras orbit inside it, like a real indoor
     # capture — with random training backgrounds any void region is an
     # unfittable gradient source that storms the densifier) + clutter
-    n_wall = n // 2
+    n_wall = (3 * n) // 5
     walls = []
     slabs = ((0, -2.6), (0, 2.6), (1, -1.6), (1, 1.6), (2, -2.6), (2, 2.6))
     for axis, offset in slabs:
@@ -44,27 +44,36 @@ def make_scene_gaussians(n=40_000, seed=7):
         p[:, axis] = offset + rng.normal(0, 0.02, len(p))
         walls.append(p)
     walls = np.concatenate(walls)[:n_wall]
-    centers = rng.uniform(-1.1, 1.1, size=(40, 3)) * np.array([1, 0.5, 1])
-    idx = rng.integers(0, 40, size=n - n_wall)
-    clutter = centers[idx] + rng.normal(0, 0.2, size=(n - n_wall, 3))
+    # furniture: a couple dozen solid objects of LARGE gaussians — a real
+    # interior is mostly flat surfaces; dense random-colored speckle with
+    # 20x overdraw is unfittable (per-pixel GT becomes a deep blend of
+    # independent random colors) and storms the densifier, reference or not
+    n_obj = 24
+    centers = rng.uniform(-1.1, 1.1, size=(n_obj, 3)) * np.array([1, 0.55, 1])
+    idx = rng.integers(0, n_obj, size=n - n_wall)
+    clutter = centers[idx] + rng.normal(0, 0.16, size=(n - n_wall, 3))
     xyz = np.concatenate([walls, clutter]).astype(np.float32)
     n = len(xyz)
-    # spatially-smooth colors + tame view dependence: a natural scene is
-    # fittable — per-gaussian independent color/SH noise is not (gradients
-    # never decay and densification runs away, on the reference too)
-    freqs = rng.normal(0, 1.2, size=(3, 3))
+    # spatially-smooth wall colors; per-object base colors with small jitter
+    freqs = rng.normal(0, 1.0, size=(3, 3))
     phases = rng.uniform(0, 2 * np.pi, size=3)
-    colors = 0.5 + 0.35 * np.sin(xyz @ freqs.T + phases)
-    colors = np.clip(colors + rng.normal(0, 0.03, size=(n, 3)), 0.05, 0.95)
+    colors = 0.5 + 0.3 * np.sin(xyz @ freqs.T + phases)
+    obj_colors = rng.uniform(0.15, 0.85, size=(n_obj, 3))
+    colors[n_wall:] = obj_colors[idx]
+    colors = np.clip(colors + rng.normal(0, 0.02, size=(n, 3)), 0.05, 0.95)
     colors = colors.astype(np.float32)
     k = 16
     f_rest = rng.normal(0, 0.004, size=(n, k - 1, 3)).astype(np.float32)
+    scaling = np.concatenate([
+        rng.normal(np.log(0.055), 0.3, size=(n_wall, 3)),
+        rng.normal(np.log(0.085), 0.3, size=(n - n_wall, 3)),
+    ])
     return GaussianData(
         xyz=xyz,
         f_dc=rgb_to_sh(colors).reshape(n, 1, 3).astype(np.float32),
         f_rest=f_rest,
-        opacity=rng.normal(1.8, 0.8, size=(n, 1)).astype(np.float32),
-        scaling=rng.normal(np.log(0.045), 0.35, size=(n, 3)).astype(np.float32),
+        opacity=rng.normal(2.6, 0.6, size=(n, 1)).astype(np.float32),
+        scaling=scaling.astype(np.float32),
         rotation=rng.normal(size=(n, 4)).astype(np.float32),
     )
 

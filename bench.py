@@ -124,6 +124,9 @@ def bench_train_step(xyz, shs, scales, quats, opacity, cam, cfg):
         state, adam, metrics = step(state, adam, it)
     jax.block_until_ready(metrics)
     ms = (time.perf_counter() - t0) / n_steps * 1e3
+    # the timed steps mutate state via Adam: re-assert the tightly trimmed
+    # stream capacity still dropped nothing by the LAST step
+    assert int(metrics.num_dropped_keys) == 0, int(metrics.num_dropped_keys)
     print(json.dumps({
         "metric": "train_step_ms_250k_1600x1066",
         "value": round(ms, 2),

@@ -455,22 +455,45 @@ def _expand_keys_core(
         sa = jnp.maximum(a, 1e-12)
         sc = jnp.maximum(c, 1e-12)
 
+        # each edge evaluation returns (q, qabs) at the same clamped point:
+        # qabs = |A|dx^2 + 2|B dx dy| + |C|dy^2 tracks the cancellation
+        # magnitude of the three bf16 terms, so the keep tolerance can scale
+        # with the actual packing error (for large rotated anisotropic
+        # gaussians the terms reach 1e4-1e5 while q stays small — a fixed
+        # tolerance is NOT conservative there)
         def q_edge_x(e):
             dy = jnp.clip(-b * e / sc, dylo, dyhi)
-            return a * e * e + 2.0 * b * e * dy + c * dy * dy
+            cross = b * e * dy
+            q = a * e * e + 2.0 * cross + c * dy * dy
+            qa = sa * e * e + 2.0 * jnp.abs(cross) + sc * dy * dy
+            return q, qa
 
         def q_edge_y(f):
             dx = jnp.clip(-b * f / sa, dxlo, dxhi)
-            return c * f * f + 2.0 * b * f * dx + a * dx * dx
+            cross = b * f * dx
+            q = c * f * f + 2.0 * cross + a * dx * dx
+            qa = sc * f * f + 2.0 * jnp.abs(cross) + sa * dx * dx
+            return q, qa
 
-        q_min = jnp.minimum(
-            jnp.minimum(q_edge_x(dxlo), q_edge_x(dxhi)),
-            jnp.minimum(q_edge_y(dylo), q_edge_y(dyhi)),
+        def _min_pair(p1, p2):
+            q1, a1 = p1
+            q2, a2 = p2
+            take1 = q1 <= q2
+            return jnp.where(take1, q1, q2), jnp.where(take1, a1, a2)
+
+        q_min, qabs = _min_pair(
+            _min_pair(q_edge_x(dxlo), q_edge_x(dxhi)),
+            _min_pair(q_edge_y(dylo), q_edge_y(dyhi)),
         )
         q_min = jnp.where(inside, 0.0, q_min)
+        qabs = jnp.where(inside, 0.0, qabs)
         pd = (a > 0.0) & (c > 0.0) & (a * c - b * b > 0.0)
-        # tolerance covers bf16 conic (0.8% rel) + 1/32 px center quantization
-        keep = ~pd | (q_min <= t2k * 1.02 + 0.6)
+        # tolerance: 1.02*t2k covers the bf16 rounding of the threshold
+        # itself; 0.01*qabs covers bf16 conic rounding (2^-8 rel per
+        # coefficient) through the cancelling sum; the 0.9 constant covers
+        # the 1/32 px center quantization in the |d| < 7 px regime (beyond
+        # that the qabs term dominates the quantization error too)
+        keep = ~pd | (q_min <= t2k * 1.02 + 0.01 * qabs + 0.9)
         in_range = in_range & keep
 
     tile = jnp.where(in_range, tile, num_tiles)

@@ -342,7 +342,14 @@ def _composite_kernel_call(
     data, tile_start, tile_count, bg, *, width, height, cfg, interpret=False,
     track_ncontrib=True,
 ):
-    """Raw kernel invocation; `data` must already be chunk-padded at the end."""
+    """Raw kernel invocation; `data` must already be chunk-padded at the end.
+
+    The pad is mandatory for memory safety, not just masking: DMA windows
+    are 128-aligned (base = start//128*128), so a segment ending at the
+    unpadded capacity K reads up to base + n_chunks*chunk <= K + chunk - 1
+    — one chunk of slack keeps the HBM read in bounds. Both callers
+    (composite_stream_pallas, pallas._build_stream) append the pad.
+    """
     tiles_x, tiles_y = grid_dims(width, height)
     num_tiles = tiles_x * tiles_y
     p = TILE * TILE

@@ -271,6 +271,76 @@ class TestEllipseTileCull:
         # sanity: plenty of kept keys do contribute
         assert (amax[keptm] >= 1.0 / 255.0).mean() > 0.3
 
+    def _max_tile_alpha_vec(self, prep, ktx, kty, g_of_k, order, mask):
+        """Vectorized brute-force max tile alpha, restricted to mask."""
+        xy = np.asarray(prep.xy)[np.asarray(order)]
+        conic = np.asarray(prep.conic)[np.asarray(order)]
+        opa = np.asarray(prep.opacity)[np.asarray(order)]
+        idx = np.nonzero(mask)[0]
+        out = np.zeros(len(idx), np.float32)
+        pix = np.arange(16, dtype=np.float32)
+        for lo in range(0, len(idx), 4096):
+            sl = idx[lo:lo + 4096]
+            g = g_of_k[sl]
+            a, b, c = conic[g, 0], conic[g, 1], conic[g, 2]
+            dx = xy[g, 0][:, None] - (ktx[sl][:, None] * 16.0 + pix[None, :])
+            dy = xy[g, 1][:, None] - (kty[sl][:, None] * 16.0 + pix[None, :])
+            power = (
+                -0.5 * (a[:, None, None] * dx[:, None, :] ** 2
+                        + c[:, None, None] * dy[:, :, None] ** 2)
+                - b[:, None, None] * dx[:, None, :] * dy[:, :, None]
+            )
+            alpha = np.where(
+                power > 0.0, 0.0,
+                np.minimum(0.99, opa[g][:, None, None]
+                           * np.exp(np.minimum(power, 0.0))),
+            )
+            out[lo:lo + len(sl)] = alpha.reshape(len(sl), -1).max(axis=1)
+        return out
+
+    def test_cull_conservative_large_anisotropic(self):
+        """Advisor regression (round 2): bf16 cancellation on large thin
+        rotated gaussians at high resolution must not cull keys whose true
+        f32 max tile alpha reaches 1/255 — the terms of q reach 1e4-1e5 at
+        tile distances of hundreds of px, so the tolerance must track the
+        actual packing-error magnitude (qabs), not a constant."""
+        from scorp_tpu.ops.raster.common import _expand_keys_core, preprocess
+
+        rng = np.random.default_rng(7)
+        n = 64
+        cam = look_at_camera(
+            eye=[0, 0, -4.0], target=[0, 0, 0], up=[0, 1, 0],
+            fovx=1.1, fovy=0.9, width=1024, height=768,
+        )
+        xyz = jnp.asarray(rng.uniform(-1.5, 1.5, size=(n, 3)).astype(np.float32))
+        s_long = np.exp(rng.uniform(np.log(0.5), np.log(1.5), n))
+        s_thin = np.exp(rng.uniform(np.log(0.004), np.log(0.05), n))
+        s_mid = np.exp(rng.uniform(np.log(0.05), np.log(0.3), n))
+        scales = jnp.asarray(np.stack([s_long, s_thin, s_mid], 1).astype(np.float32))
+        quats = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+        opa = jnp.asarray(rng.uniform(0.3, 0.99, n).astype(np.float32))
+        colors = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+        prep = preprocess(xyz, opa, cam, colors_precomp=colors,
+                          scales=scales, quats=quats)
+        k_cap = 1 << 19
+        t0, g0, order, total, x0, y0, r0, kept0 = jax.jit(
+            lambda p: _expand_keys_core(p, 1024, 768, k_cap, cull=False)
+        )(prep)
+        _, _, _, _, _, _, r1, kept1 = jax.jit(
+            lambda p: _expand_keys_core(p, 1024, 768, k_cap, cull=True)
+        )(prep)
+        assert int(total) <= k_cap, "test scene overflows key capacity"
+        r0 = np.asarray(r0)
+        r1 = np.asarray(r1)
+        culled = r0 & ~r1
+        assert culled.any()                # the cull still fires
+        assert int(kept1) < int(kept0)
+        amax = self._max_tile_alpha_vec(
+            prep, np.asarray(x0), np.asarray(y0),
+            np.maximum(np.asarray(g0), 0), order, culled,
+        )
+        assert amax.max(initial=0.0) < 1.0 / 255.0
+
 
 class TestTileSort:
     def test_packed_equals_two_column(self):

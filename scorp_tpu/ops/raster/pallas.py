@@ -42,7 +42,7 @@ from .common import (
     preprocess,
 )
 from .pallas_bwd import backward_kernel_call
-from .pallas_fwd import _composite_kernel_call, tiles_cp_to_image
+from .pallas_fwd import GROUP, _composite_kernel_call, tiles_cp_to_image
 from .xla import RasterOutput
 
 
@@ -59,10 +59,11 @@ def _make_composite(width: int, height: int, cfg: RasterConfig, interpret: bool)
     tiles_x, tiles_y = grid_dims(width, height)
     num_tiles = tiles_x * tiles_y
     chunk = cfg.pallas_chunk
-    # aligned stream capacity: every tile's segment is padded to a chunk
-    # multiple, so the worst-case overhead is one chunk per tile. The base
-    # is the post-cull stream capacity, not the expansion capacity.
-    k_al = cfg.stream_cap + num_tiles * chunk
+    # aligned stream capacity: every GROUP of tiles (one backward program)
+    # is padded to a chunk multiple — worst-case one chunk per group, not
+    # per tile (the backward merges tile-straddling blocks in VMEM). The
+    # base is the post-cull stream capacity, not the expansion capacity.
+    k_al = aligned_cap(num_tiles, cfg, GROUP)
 
     def _build_stream(table, g_pad):
         key_rows = gather_rows_u16(table, g_pad)  # [K_al, 11]
@@ -140,19 +141,37 @@ def _make_composite(width: int, height: int, cfg: RasterConfig, interpret: bool)
     return composite
 
 
-def _aligned_routing(prep_sg, width, height, cfg, cull: bool = True):
+def aligned_cap(num_tiles: int, cfg: RasterConfig, group: int) -> int:
+    """Static capacity of the group-aligned training stream."""
+    n_groups = -(-num_tiles // group)
+    return cfg.stream_cap + n_groups * cfg.pallas_chunk
+
+
+def _aligned_routing(prep_sg, width, height, cfg, cull: bool = True,
+                     group: int = 1):
     """Integer routing for the aligned training stream.
+
+    Alignment is at GROUP granularity: each group of `group` consecutive
+    tiles (one backward program) starts on a pallas_chunk boundary, while
+    tiles inside a group stay compact (contiguous). The backward kernel
+    merges the chunk blocks that straddle tile boundaries in VMEM before
+    writing, so per-tile alignment is unnecessary — and the static aligned
+    capacity drops from K2 + num_tiles*chunk to K2 + n_groups*chunk
+    (~2.4M -> ~1.6M at 250k/1600x1066/chunk=128), shrinking every
+    K_al-proportional stage: the stream gather, the slot-id gather, and
+    the backward scatter-add. group=1 reproduces per-tile alignment
+    (used by the surfel trainer until it adopts the merge writer).
 
     Returns (g_pad [K_al] clamped gather ids, g_drop [K_al] scatter ids with
     out-of-segment slots set to a drop sentinel, aligned_start [T],
-    tile_count [T], dropped key count).
+    tile_count [T], dropped key count, order).
     """
     tiles_x, tiles_y = grid_dims(width, height)
     num_tiles = tiles_x * tiles_y
     chunk = cfg.pallas_chunk
     k = cfg.max_keys
     k2 = cfg.stream_cap
-    k_al = k2 + num_tiles * chunk
+    k_al = aligned_cap(num_tiles, cfg, group)
 
     tile, g_of_k, order, total, _, _, _, kept = _expand_keys_core(
         prep_sg, width, height, k, cull=cull
@@ -165,19 +184,27 @@ def _aligned_routing(prep_sg, width, height, cfg, cull: bool = True):
     g_sorted = g_sorted[:k2]
     tile_start, tile_count = _tile_bounds(sorted_tile, num_tiles)
 
-    aligned_count = -(-tile_count // chunk) * chunk
-    aligned_start = jnp.cumsum(aligned_count) - aligned_count
+    # group-level alignment: tile ranges are contiguous (_tile_bounds), so
+    # a group's key range is [start of first tile, start of next group)
+    gi_start = tile_start[::group]                       # [n_groups]
+    k_end = tile_start[-1] + tile_count[-1]              # kept total (<= k2)
+    gi_end = jnp.concatenate([gi_start[1:], k_end[None]])
+    g_count = gi_end - gi_start
+    aligned_gcount = -(-g_count // chunk) * chunk
+    ag_start = jnp.cumsum(aligned_gcount) - aligned_gcount
+
+    # aligned tile starts = compact starts + their group's pad shift
+    padshift_g = ag_start - gi_start                     # [n_groups] non-dec
+    aligned_start = tile_start + jnp.repeat(padshift_g, group)[:num_tiles]
 
     # per aligned slot p: its stream position j = p - padshift, and the
-    # (exclusive) end of its segment's stream range; both recovered from a
-    # monotone scatter + cummax over tile starts
-    padshift_t = aligned_start - tile_start  # [T] non-decreasing
-    seg_end_t = tile_start + tile_count
+    # (exclusive) end of its group's stream range; both recovered from a
+    # monotone scatter + cummax over group starts
     padshift_p = jax.lax.cummax(
-        jnp.zeros(k_al, jnp.int32).at[aligned_start].max(padshift_t, mode="drop")
+        jnp.zeros(k_al, jnp.int32).at[ag_start].max(padshift_g, mode="drop")
     )
     end_p = jax.lax.cummax(
-        jnp.zeros(k_al, jnp.int32).at[aligned_start].max(seg_end_t, mode="drop")
+        jnp.zeros(k_al, jnp.int32).at[ag_start].max(gi_end, mode="drop")
     )
     p = jax.lax.broadcasted_iota(jnp.int32, (k_al, 1), 0)[:, 0]
     j_of_p = p - padshift_p
@@ -225,7 +252,7 @@ def rasterize_pallas(
     # integer routing (no gradients)
     prep_sg = jax.lax.stop_gradient(prep)
     g_pad, g_drop, aligned_start, tile_count, dropped, order = _aligned_routing(
-        prep_sg, w, h, cfg
+        prep_sg, w, h, cfg, group=GROUP
     )
 
     # differentiable payload table, depth-ordered (VJP: N-sized scatter-add)

@@ -25,8 +25,11 @@ but vectorized over [P pixels, C keys] blocks:
     S_i = sum_{j>i} w_j u_j are one more MXU contraction;
   * per-key gradients are reduced over pixels (MXU contractions for
     color/depth, sublane reductions for the geometry terms) and written to
-    a chunk-aligned padded buffer — each tile owns disjoint, chunk-aligned
-    output segments, so no atomics and no cross-program races;
+    a GROUP-aligned padded buffer: each program (group of tiles) owns a
+    disjoint chunk-aligned span, while blocks straddling tile boundaries
+    inside the group are merged in VMEM by a carry accumulator before the
+    single flush DMA — no atomics and no cross-program races, and the
+    aligned capacity pays one chunk per group instead of one per tile;
   * gradient formulas match the CUDA backward, including its treatment of
     the 0.99 alpha clamp (gradients propagate through opa*exp(power)
     unconditionally) and the exclusion of skipped/post-termination keys.
@@ -132,7 +135,10 @@ def _bwd_kernel(
     bg = bg_ref
 
     def _copy_in(start, ci, slot):
-        base = (start // 128) * 128
+        # chunk-granular base: read windows sit on the GLOBAL chunk grid,
+        # so window ci of a tile is exactly output block start//chunk + ci
+        # (chunk is a multiple of 128, satisfying Mosaic's lane alignment)
+        base = (start // chunk) * chunk
         offset = pl.multiple_of(base + ci * chunk, 128)
         return pltpu.make_async_copy(
             data_ref.at[:, pl.ds(offset, chunk)], chunk_vmem.at[slot],
@@ -144,7 +150,7 @@ def _bwd_kernel(
         t = pid * group + g
         start = tile_start_ref[t]
         count = tile_count_ref[t]
-        head = start - (start // 128) * 128
+        head = start % chunk
         n_con = ncontrib_ref[g]                    # [1, P] i32
         max_inc = jnp.minimum(jnp.max(n_con), count)
         # 0 for empty tiles regardless of alignment (skip DMA + loop)
@@ -162,22 +168,31 @@ def _bwd_kernel(
         def _(start=start, hi=hi, g=g):
             _copy_in(start, hi - 1, g).start()
 
-    # write-slot bookkeeping threads across tiles: w_pend[s] = 1 iff an
-    # output DMA through grad_vmem[s] is still outstanding (f32 0/1 flags —
-    # Mosaic can't legalize i1 while-loop carries)
-    w_pend = (jnp.float32(0.0), jnp.float32(0.0))
-
     def _wait_out(slot_idx):
         pltpu.make_async_copy(
             grad_vmem.at[slot_idx], out_grads_ref.at[0], sem_out.at[slot_idx]
         ).wait()
 
-    for g in range(group):
+    # Merge-carry writer. Tiles are processed in REVERSE group order and
+    # each tile walks its chunks back-to-front, so the global output block
+    # indices visited by this program are non-increasing. The stream is
+    # aligned per GROUP, not per tile: a chunk block can straddle adjacent
+    # tiles' segments, so the last block of the walk may be the same block
+    # the next tile touches first. The open "carry" block accumulates those
+    # contributions in VMEM and is flushed (one DMA) only when a lower
+    # block index appears. State threads across tiles:
+    #   cblk  — open carry's global block index (-1 = none)
+    #   cslot — grad_vmem slot holding the open carry
+    #   w0/w1 — f32 0/1: slot's previous flush DMA still outstanding
+    #           (Mosaic can't legalize i1 while-loop carries)
+    carry_w = (jnp.int32(-1), jnp.int32(1), jnp.float32(0.0), jnp.float32(0.0))
+
+    for g in reversed(range(group)):
         t = pid * group + g
         start = tile_start_ref[t]
         count = tile_count_ref[t]
         cbase = chunk_base_ref[t]
-        head = start - (start // 128) * 128
+        head = start % chunk
         hi = _hi(g)
         tx_px = ((t % tiles_x) * TILE).astype(jnp.float32)
         ty_px = ((t // tiles_x) * TILE).astype(jnp.float32)
@@ -197,7 +212,7 @@ def _bwd_kernel(
         def body(carry, g=g, start=start, head=head, count=count, hi=hi,
                  cbase=cbase, tx_px=tx_px, ty_px=ty_px, g_c=g_c,
                  gt_term=gt_term, g_d_col=g_d_col, n_con_col=n_con_col):
-            ci, t_run, s_run, w0, w1 = carry
+            ci, t_run, s_run, cblk, cslot, w0, w1 = carry
             in_slot = jnp.where(ci == hi - 1, g, group + ci % 2)
 
             @pl.when(ci - 1 >= 0)
@@ -263,39 +278,61 @@ def _bwd_kernel(
             d_gy = jnp.sum(-(cc * dy + cb * dx) * dpow, axis=0, keepdims=True)
             d_opa = jnp.sum(big_g * dalpha, axis=0, keepdims=True)
 
-            # reuse a write slot only once its previous DMA completed; one
-            # [16, chunk] block per chunk slot — the caller transposes each
-            # block to rows (a local (16,chunk) relayout XLA does at
-            # bandwidth, forcing a row-major materialization so the
-            # downstream per-key row gather stays on the fast path)
+            # one [16, chunk] gradient block per GLOBAL chunk block B; the
+            # caller transposes each block to rows (a local (16,chunk)
+            # relayout XLA does at bandwidth, forcing a row-major
+            # materialization so the downstream scatter stays fast).
+            # Out-of-segment lanes are exactly zero (every term above is
+            # masked by in_seg), so accumulating the straddling tiles'
+            # blocks is a plain add.
             g16 = jnp.concatenate(
                 [d_gx, d_gy, d_ca, d_cb, d_cc, d_color, d_opa, d_depth,
                  jnp.zeros((6, chunk), jnp.float32)],
                 axis=0,
             )                                                  # [16, C]
-            w_slot = ci % 2
+            B = cbase + ci
+            is_merge = B == cblk
+            # merge: accumulate into the open carry block
+            for k in (0, 1):
+                @pl.when(is_merge & (cslot == k))
+                def _(k=k):
+                    grad_vmem[k] = grad_vmem[k] + g16
+
+            # open a new carry: flush the previous one (a strictly higher
+            # block — visits are non-increasing, so it is complete), then
+            # claim the other slot once its old flush DMA drained
+            new_slot = 1 - cslot
             for k in (0, 1):
                 pend = w0 if k == 0 else w1
 
-                @pl.when((w_slot == k) & (pend > 0.5))
+                @pl.when(~is_merge & (new_slot == k) & (pend > 0.5))
                 def _(k=k):
                     _wait_out(k)
 
-                @pl.when(w_slot == k)
+                @pl.when(~is_merge & (cslot == k) & (cblk >= 0))
                 def _(k=k):
-                    grad_vmem[k] = g16
                     pltpu.make_async_copy(
-                        grad_vmem.at[k], out_grads_ref.at[cbase + ci],
+                        grad_vmem.at[k], out_grads_ref.at[cblk],
                         sem_out.at[k],
                     ).start()
 
-            is0 = (w_slot == 0).astype(jnp.float32)
-            w0 = jnp.maximum(w0, is0)
-            w1 = jnp.maximum(w1, 1.0 - is0)
+                @pl.when(~is_merge & (new_slot == k))
+                def _(k=k):
+                    grad_vmem[k] = g16
+
+            nm = ~is_merge
+            fl0 = nm & (cslot == 0) & (cblk >= 0)
+            fl1 = nm & (cslot == 1) & (cblk >= 0)
+            to0 = nm & (new_slot == 0)
+            to1 = nm & (new_slot == 1)
+            w0 = jnp.where(to0, 0.0, jnp.where(fl0, 1.0, w0))
+            w1 = jnp.where(to1, 0.0, jnp.where(fl1, 1.0, w1))
+            cslot = jnp.where(nm, new_slot, cslot)
+            cblk = jnp.where(nm, B, cblk)
 
             t_run = t_run * jnp.exp(-revlog[:, 0:1])
             s_run = s_run + revsum_incl[:, 0:1]
-            return ci - 1, t_run, s_run, w0, w1
+            return ci - 1, t_run, s_run, cblk, cslot, w0, w1
 
         def cond(carry):
             ci, *_ = carry
@@ -303,16 +340,29 @@ def _bwd_kernel(
 
         t0 = t_final_row.reshape(p, 1)
         s0 = jnp.zeros((p, 1), jnp.float32)
-        _, _, _, w0, w1 = jax.lax.while_loop(
-            cond, body, (hi - 1, t0, s0, w_pend[0], w_pend[1])
+        _, _, _, cblk, cslot, w0, w1 = jax.lax.while_loop(
+            cond, body,
+            (hi - 1, t0, s0, carry_w[0], carry_w[1], carry_w[2], carry_w[3]),
         )
-        w_pend = (w0, w1)
+        carry_w = (cblk, cslot, w0, w1)
 
-    @pl.when(w_pend[0] > 0.5)
+    # final flush of the open carry, then drain both slots
+    cblk, cslot, w0, w1 = carry_w
+    for k in (0, 1):
+        @pl.when((cblk >= 0) & (cslot == k))
+        def _(k=k):
+            pltpu.make_async_copy(
+                grad_vmem.at[k], out_grads_ref.at[cblk], sem_out.at[k]
+            ).start()
+
+    w0 = jnp.maximum(w0, ((cblk >= 0) & (cslot == 0)).astype(jnp.float32))
+    w1 = jnp.maximum(w1, ((cblk >= 0) & (cslot == 1)).astype(jnp.float32))
+
+    @pl.when(w0 > 0.5)
     def _():
         _wait_out(0)
 
-    @pl.when(w_pend[1] > 0.5)
+    @pl.when(w1 > 0.5)
     def _():
         _wait_out(1)
 

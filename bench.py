@@ -183,15 +183,20 @@ def bench_kernel_parity():
 
 
 def main():
-    from scorp_tpu.ops.raster import RasterConfig
+    from scorp_tpu.render import tuned_raster_config
 
     scene = build_scene()
-    # max_keys covers the pre-cull expansion (1.72M keys on this scene, fixed
-    # camera => deterministic); stream_keys the post-ellipse-cull sorted
-    # stream (1.46M kept). bench_render/bench_train assert zero drops.
-    cfg = RasterConfig(max_keys=(1 << 20) + (1 << 19) + (1 << 18),
-                       tile_list_len=4096, chunk=64,
-                       pallas_chunk=128, stream_keys=(1 << 20) + (1 << 19))
+    # Same builder the trainer apps use (tuned_raster_config), with the
+    # capacities trimmed to this scene's measured key counts: max_keys
+    # covers the pre-cull expansion (1.72M keys, fixed camera =>
+    # deterministic); stream_keys the post-ellipse-cull sorted stream
+    # (~1.5M kept). bench_render/bench_train assert zero drops.
+    cfg = tuned_raster_config(
+        250_000,
+        max_keys=(1 << 20) + (1 << 19) + (1 << 18),
+        tile_list_len=4096, chunk=64,
+        stream_keys=(1 << 20) + (1 << 19),
+    )
     bench_render(*scene, cfg)
     bench_train_step(*scene, cfg)
     bench_kernel_parity()

@@ -18,13 +18,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ModelParams, Optimization2DParams, PipelineParams, save_cfg_args
-from ..ops.raster import RasterConfig
+from ..render import regrow_config, tuned_raster_config
 from ..render2d import render2d
 from ..scene import Scene
 from ..train import (
     count_densify_candidates,
     densify_and_prune,
-    from_gaussian_data,
     from_point_cloud,
     grow_capacity,
     init_adam,
@@ -76,10 +75,9 @@ def opt2d_from_args(opt: Optimization2DParams) -> Opt2DParams:
 
 
 def evaluate2d(scene, state, sh_degree, bg, cfg, iteration, quiet=False):
+    """Renders straight from the live padded state with the training
+    RasterConfig (no host round-trip, no per-capacity recompile)."""
     results = {}
-    from ..train import from_gaussian_data as _fgd
-
-    st = _fgd(to_gaussian_data(state))
     train_cams = scene.get_train_cameras()
     configs = [
         ("test", scene.get_test_cameras()),
@@ -90,7 +88,7 @@ def evaluate2d(scene, state, sh_degree, bg, cfg, iteration, quiet=False):
             continue
         l1s, psnrs = [], []
         for cam in cams:
-            out = render2d(cam.to_jax(), st, bg, sh_degree=sh_degree, cfg=cfg)
+            out = render2d(cam.to_jax(), state, bg, sh_degree=sh_degree, cfg=cfg)
             img = np.clip(np.asarray(out["render"]), 0.0, 1.0)
             gt = np.clip(cam.gt(release=True).image, 0.0, 1.0)
             l1s.append(float(np.abs(img - gt).mean()))
@@ -125,8 +123,7 @@ def training(dataset, opt: Optimization2DParams, pipe, testing_iterations,
 
     bg_fixed = np.array([1.0, 1.0, 1.0] if dataset.white_background else [0.0, 0.0, 0.0],
                         np.float32)
-    max_keys = 1 << min(22, max(14, (state.capacity * 16 - 1).bit_length()))
-    cfg = RasterConfig(max_keys=max_keys, tile_list_len=1024, chunk=32)
+    cfg = tuned_raster_config(state.capacity, chunk=32)
 
     # live SIBR viewer loop (the reference's only live call site,
     # /root/reference/train_2dgs.py:209-230)
@@ -207,12 +204,8 @@ def training(dataset, opt: Optimization2DParams, pipe, testing_iterations,
                 state, adam = reset_opacity(state, adam)
 
         if int(metrics.num_dropped_keys) > 0 or int(metrics.num_dropped_tail) > 0:
-            cfg = RasterConfig(
-                max_keys=cfg.max_keys * 2 if int(metrics.num_dropped_keys) > 0 else cfg.max_keys,
-                tile_list_len=cfg.tile_list_len * 2
-                if int(metrics.num_dropped_tail) > 0 else cfg.tile_list_len,
-                chunk=cfg.chunk,
-            )
+            cfg = regrow_config(cfg, int(metrics.num_dropped_keys),
+                                int(metrics.num_dropped_tail))
 
         if iteration in checkpoint_iterations:
             save_checkpoint(

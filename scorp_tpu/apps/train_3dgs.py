@@ -31,15 +31,13 @@ from ..config import (
     PipelineParams,
     save_cfg_args,
 )
-from ..ops.raster import RasterConfig
-from ..render import render
+from ..render import regrow_config, render, tuned_raster_config
 from ..scene import Scene
 from ..scene.cameras import Camera
 from ..train import (
     OptParams,
     count_densify_candidates,
     densify_and_prune,
-    from_gaussian_data,
     from_point_cloud,
     grow_capacity,
     init_adam,
@@ -204,23 +202,27 @@ def load_checkpoint(path: str):
 
 
 def evaluate(scene: Scene, state, sh_degree: int, bg, cfg, iteration: int, quiet=False):
-    """In-loop test/train eval (training_report, train_3dgs.py:221-256)."""
+    """In-loop test/train eval (training_report, train_3dgs.py:221-256).
+
+    Renders straight from the live padded state (alive-masked) with the
+    training RasterConfig: no host round-trip of model-sized buffers and no
+    new compile after the first eval at a given capacity.
+    """
     results = {}
-    g = to_gaussian_data(state)
     train_cams = scene.get_train_cameras()
     configs = [
         ("test", scene.get_test_cameras()),
         ("train", [train_cams[i % len(train_cams)] for i in range(5, 30, 5)] if train_cams else []),
     ]
-    from ..train import from_gaussian_data as _fgd
-
-    st = _fgd(g)
     for name, cams in configs:
         if not cams:
             continue
         l1s, psnrs = [], []
         for cam in cams:
-            out = render(cam.to_jax(), st, bg, sh_degree=sh_degree, cfg=cfg)
+            out = render(cam.to_jax(), state, bg, sh_degree=sh_degree, cfg=cfg)
+            if int(out["num_dropped_keys"]) > 0 and not quiet:
+                print(f"\n[ITER {iteration}] eval view dropped "
+                      f"{int(out['num_dropped_keys'])} keys")
             img = np.clip(np.asarray(out["render"]), 0.0, 1.0)
             gt = np.clip(cam.gt(release=True).image, 0.0, 1.0)
             l1s.append(float(np.abs(img - gt).mean()))
@@ -273,8 +275,7 @@ def training(
 
     bg_fixed = np.array([1.0, 1.0, 1.0] if dataset.white_background else [0.0, 0.0, 0.0],
                         np.float32)
-    max_keys = 1 << min(22, max(14, (state.capacity * 16 - 1).bit_length()))
-    cfg = RasterConfig(max_keys=max_keys, tile_list_len=1024, chunk=64)
+    cfg = tuned_raster_config(state.capacity)
 
     # live SIBR viewer loop; the reference ships these call sites
     # commented out for 3DGS (train_3dgs.py:57-70) — opt-in via --gui
@@ -372,17 +373,12 @@ def training(
             ):
                 state, adam = reset_opacity(state, adam)
 
-        # rasterizer capacity growth on overflow
+        # rasterizer capacity growth on overflow (preserves tuned fields)
         if int(metrics.num_dropped_keys) > 0 or int(metrics.num_dropped_tail) > 0:
-            cfg = RasterConfig(
-                max_keys=cfg.max_keys * 2
-                if int(metrics.num_dropped_keys) > 0 else cfg.max_keys,
-                tile_list_len=cfg.tile_list_len * 2
-                if int(metrics.num_dropped_tail) > 0 else cfg.tile_list_len,
-                chunk=cfg.chunk,
-            )
+            cfg = regrow_config(cfg, int(metrics.num_dropped_keys),
+                                int(metrics.num_dropped_tail))
             print(f"\n[ITER {iteration}] raster capacity -> keys={cfg.max_keys} "
-                  f"list={cfg.tile_list_len}")
+                  f"stream={cfg.stream_keys} list={cfg.tile_list_len}")
 
         if iteration in checkpoint_iterations:
             print(f"\n[ITER {iteration}] Saving Checkpoint")

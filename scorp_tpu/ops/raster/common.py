@@ -52,7 +52,9 @@ class RasterConfig(NamedTuple):
     max_keys: int = 1 << 20       # total (gaussian, tile) pair capacity
     tile_list_len: int = 1024     # per-tile dense list capacity (XLA path)
     chunk: int = 32               # gaussians blended per inner step (XLA path)
-    pallas_chunk: int = 512       # gaussians per VMEM stage (Pallas path)
+    pallas_chunk: int = 128       # gaussians per VMEM stage (Pallas path;
+                                  # 128 measured best on v5e: scan steps +
+                                  # early-exit granularity beat 256/512)
     # capacity of the post-cull sorted stream (0 = max_keys). The exact
     # ellipse-tile cull drops 15-50% of expanded keys, so the sorted slice —
     # and everything downstream: the stream gather, the compositor chunks,

@@ -35,6 +35,7 @@ from .common import (
     _expand_keys_core,
     _tile_bounds,
     _tile_sort,
+    gather_rows_u16,
     grid_dims,
 )
 from .pallas_fwd import SCAN_PREC, _mm, _strict_lower_tri, tiles_cp_to_image
@@ -72,17 +73,26 @@ def surfel_stream(prep: SurfelPrep, width: int, height: int, cfg: RasterConfig):
     k_cap = cfg.max_keys
 
     common = _surfel_prep_to_common(prep)
+    # NOTE: no exact ellipse-tile cull here — surfel alpha is
+    # exp(-0.5*min(rho3d, rho2d)) with rho3d a projective (non-quadratic)
+    # function of the pixel, so the 3DGS quadratic-form tile test is not a
+    # conservative bound for it.
     tile, g_of_k, order, total, *_ = _expand_keys_core(common, width, height, k_cap)
 
     n = prep.xy.shape[0]
     m_rows = prep.M.reshape(n, 9)  # row-major (m1, m2, m3)
-    table = jnp.concatenate(
-        [m_rows, prep.zrow, prep.xy, prep.color, prep.opacity[:, None], prep.normal],
-        axis=1,
-    )[order]  # [N, 21]
+    # u16-bitcast row gathers: ~3x the 32-bit row-gather throughput
+    table = gather_rows_u16(
+        jnp.concatenate(
+            [m_rows, prep.zrow, prep.xy, prep.color, prep.opacity[:, None],
+             prep.normal],
+            axis=1,
+        ),
+        order,
+    )  # [N, 21]
 
     sorted_tile, g_sorted = _tile_sort(tile, g_of_k, num_tiles, n)
-    key_rows = table[g_sorted]  # [K, 21]
+    key_rows = gather_rows_u16(table, g_sorted)  # [K, 21]
     data = jnp.concatenate(
         [key_rows.T, jnp.zeros((SURFEL_ROWS - key_rows.shape[1], k_cap), jnp.float32)],
         axis=0,

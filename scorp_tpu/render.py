@@ -86,6 +86,50 @@ def render(
 
 def default_raster_config(capacity: int, avg_tiles_per_gaussian: int = 16) -> RasterConfig:
     """Pick key/list capacities from the Gaussian capacity (power-of-two-ish
-    so recompiles are rare)."""
+    so recompiles are rare). Conservative: no post-cull stream trim, for
+    call sites without overflow-regrow handling."""
     max_keys = 1 << max(14, (capacity * avg_tiles_per_gaussian - 1).bit_length())
     return RasterConfig(max_keys=max_keys, tile_list_len=2048, chunk=64)
+
+
+def tuned_raster_config(
+    capacity: int,
+    *,
+    avg_tiles_per_gaussian: int = 16,
+    max_keys: int | None = None,
+    stream_keys: int | None = None,
+    tile_list_len: int = 1024,
+    chunk: int = 64,
+) -> RasterConfig:
+    """The measured-fast v5e raster configuration for TRAINING loops.
+
+    pallas_chunk=128 (beats 256/512: fewer scan steps + finer early-exit
+    granularity) and a post-cull stream trim at 3/4 of the expansion
+    capacity (the exact ellipse-tile cull drops 15-50% of expanded keys, so
+    the sorted stream — and every downstream K-proportional stage: stream
+    gather, compositor chunks, backward scatter — runs at a smaller static
+    size). Overflow of either capacity is reported via num_dropped_keys /
+    num_dropped_tail; callers MUST handle it with regrow_config (the
+    trainer apps and bench.py do).
+    """
+    if max_keys is None:
+        max_keys = 1 << min(22, max(14, (capacity * avg_tiles_per_gaussian - 1).bit_length()))
+    if stream_keys is None:
+        stream_keys = max_keys // 4 * 3
+    return RasterConfig(
+        max_keys=max_keys, tile_list_len=tile_list_len, chunk=chunk,
+        pallas_chunk=128, stream_keys=stream_keys,
+    )
+
+
+def regrow_config(cfg: RasterConfig, dropped_keys: int, dropped_tail: int) -> RasterConfig:
+    """Double the overflowing capacities, preserving every other field
+    (pallas_chunk, chunk, and the stream-trim ratio survive regrow)."""
+    if dropped_keys:
+        cfg = cfg._replace(
+            max_keys=cfg.max_keys * 2,
+            stream_keys=cfg.stream_keys * 2 if cfg.stream_keys else 0,
+        )
+    if dropped_tail:
+        cfg = cfg._replace(tile_list_len=cfg.tile_list_len * 2)
+    return cfg

@@ -199,7 +199,24 @@ class OpacityTracker:
         self.bank = None
         self.always_high = jnp.zeros(capacity, bool)
 
+    def _grow(self, capacity: int):
+        """Track capacity growth (grow_capacity between resets): new rows
+        join un-latched, and their bank entries are 0 so the current bank
+        epoch can never latch them (min <= 0.7)."""
+        pad = capacity - self.always_high.shape[0]
+        if pad <= 0:
+            return
+        self.always_high = jnp.concatenate(
+            [self.always_high, jnp.zeros(pad, bool)]
+        )
+        if self.bank is not None:
+            self.bank = jnp.concatenate(
+                [self.bank, jnp.zeros((pad, self.bank.shape[1]), self.bank.dtype)],
+                axis=0,
+            )
+
     def reset(self, state: GaussianState, adam: AdamState):
+        self._grow(state.params["opacity"].shape[0])
         op = _sigmoid(state.params["opacity"])  # [C, 1]
         if self.bank is None:
             self.bank = op

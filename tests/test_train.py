@@ -72,6 +72,84 @@ class TestState:
         np.testing.assert_allclose(g.opacity, np.log(0.1 / 0.9), atol=1e-6)
 
 
+class TestOpacityTracker:
+    """Reference reset_tracking_opacity semantics
+    (/root/reference/gs3dgs/scene/gaussian_model.py:258-283): a 3-snapshot
+    opacity bank; rows whose tracked minimum stays > 0.7 latch "always
+    high" and get 0.99 at bank-full resets, everyone else 0.01 at
+    intermediate resets; the latch must survive capacity growth."""
+
+    def _state(self, logits, capacity=None):
+        import dataclasses
+
+        n = len(logits)
+        g = make_data(n, seed=3)
+        g = dataclasses.replace(g, opacity=np.asarray(logits, np.float32)[:, None])
+        st = from_gaussian_data(g, capacity=capacity or n)
+        return st, init_adam(st)
+
+    def test_bank_latch_and_resets(self):
+        from scorp_tpu.train.densify import OpacityTracker
+
+        hi = 5.0    # sigmoid ~0.993 (stays > 0.7)
+        lo = -2.0   # sigmoid ~0.119
+        st, adam = self._state([hi, hi, lo, hi])
+        tr = OpacityTracker(st.capacity)
+
+        # resets 1 and 2: bank not full -> non-latched rows forced to 0.01
+        st, adam = tr.reset(st, adam)
+        op = 1 / (1 + np.exp(-np.asarray(st.params["opacity"])[:, 0]))
+        np.testing.assert_allclose(op, 0.01, atol=1e-5)
+        assert not bool(np.asarray(tr.always_high).any())
+        # keep opacities high between resets (training would)
+        st = st._replace(params={**st.params, "opacity": jnp.full_like(
+            st.params["opacity"], hi)})
+        st, adam = tr.reset(st, adam)
+        # third reset fills the bank: min over the 3 snapshots latches only
+        # rows that stayed high in ALL of them
+        st = st._replace(params={**st.params, "opacity": jnp.asarray(
+            np.array([hi, hi, hi, lo], np.float32))[:, None]})
+        st, adam = tr.reset(st, adam)
+        latched = np.asarray(tr.always_high)
+        # row 0,1 high in all 3 snapshots; row 2 was low in snapshot 1;
+        # row 3 low in snapshot 3
+        np.testing.assert_array_equal(latched, [True, True, False, False])
+        op = 1 / (1 + np.exp(-np.asarray(st.params["opacity"])[:, 0]))
+        np.testing.assert_allclose(op[:2], 0.99, atol=1e-5)   # latched -> 0.99
+        np.testing.assert_allclose(op[3], 1 / (1 + np.exp(-lo)), atol=1e-5)
+        # bank restarted: next (intermediate) reset forces non-latched to
+        # 0.01 and leaves latched rows at their current value
+        st, adam = tr.reset(st, adam)
+        op = 1 / (1 + np.exp(-np.asarray(st.params["opacity"])[:, 0]))
+        np.testing.assert_allclose(op[2:], 0.01, atol=1e-5)
+        np.testing.assert_allclose(op[:2], 0.99, atol=1e-4)
+        # moments zeroed every reset
+        assert float(jnp.abs(adam.m["opacity"]).max()) == 0.0
+
+    def test_growth_between_resets(self):
+        from scorp_tpu.train.densify import OpacityTracker
+
+        st, adam = self._state([5.0, 5.0], capacity=2)
+        tr = OpacityTracker(st.capacity)
+        st, adam = tr.reset(st, adam)
+        st = st._replace(params={**st.params, "opacity": jnp.full_like(
+            st.params["opacity"], 5.0)})
+        st, adam = grow_capacity(st, adam, 8)
+        st = st._replace(params={**st.params, "opacity": jnp.full_like(
+            st.params["opacity"], 5.0)}, alive=jnp.ones(8, bool))
+        st, adam = tr.reset(st, adam)
+        # training raises opacity again before the bank-filling reset
+        st = st._replace(params={**st.params, "opacity": jnp.full_like(
+            st.params["opacity"], 5.0)})
+        st, adam = tr.reset(st, adam)  # bank full
+        latched = np.asarray(tr.always_high)
+        assert latched.shape == (8,)
+        # original rows latch; grown rows cannot latch in the epoch they
+        # joined (their bank min is 0)
+        np.testing.assert_array_equal(latched[:2], [True, True])
+        assert not latched[2:].any()
+
+
 class TestAdam:
     def test_matches_torch_adam(self):
         torch = pytest.importorskip("torch")

@@ -32,13 +32,12 @@ from jax.experimental.pallas import tpu as pltpu
 from .common import (
     TILE,
     RasterConfig,
-    _expand_keys_core,
     _tile_bounds,
-    _tile_sort,
     gather_rows_u16,
     grid_dims,
+    sorted_expansion,
 )
-from .pallas_fwd import SCAN_PREC, _mm, _strict_lower_tri, tiles_cp_to_image
+from .pallas_fwd import _scan_mm, _strict_lower_tri, tiles_cp_to_image
 from .surfel import (
     ALPHA_MAX,
     ALPHA_MIN,
@@ -66,7 +65,8 @@ def _masked_cumsum_lanes(x: jnp.ndarray, chunk: int) -> jnp.ndarray:
     return x
 
 
-def surfel_stream(prep: SurfelPrep, width: int, height: int, cfg: RasterConfig):
+def surfel_stream(prep: SurfelPrep, width: int, height: int, cfg: RasterConfig,
+                  interpret: bool = False):
     """Depth-ordered per-tile surfel stream [24, K] + tile ranges."""
     tiles_x, tiles_y = grid_dims(width, height)
     num_tiles = tiles_x * tiles_y
@@ -77,7 +77,9 @@ def surfel_stream(prep: SurfelPrep, width: int, height: int, cfg: RasterConfig):
     # exp(-0.5*min(rho3d, rho2d)) with rho3d a projective (non-quadratic)
     # function of the pixel, so the 3DGS quadratic-form tile test is not a
     # conservative bound for it.
-    tile, g_of_k, order, total, *_ = _expand_keys_core(common, width, height, k_cap)
+    sorted_tile, g_sorted, order, total, _ = sorted_expansion(
+        common, width, height, k_cap, cull=False, interpret=interpret
+    )
 
     n = prep.xy.shape[0]
     m_rows = prep.M.reshape(n, 9)  # row-major (m1, m2, m3)
@@ -91,7 +93,6 @@ def surfel_stream(prep: SurfelPrep, width: int, height: int, cfg: RasterConfig):
         order,
     )  # [N, 21]
 
-    sorted_tile, g_sorted = _tile_sort(tile, g_of_k, num_tiles, n)
     key_rows = gather_rows_u16(table, g_sorted)  # [K, 21]
     data = jnp.concatenate(
         [key_rows.T, jnp.zeros((SURFEL_ROWS - key_rows.shape[1], k_cap), jnp.float32)],
@@ -102,168 +103,195 @@ def surfel_stream(prep: SurfelPrep, width: int, height: int, cfg: RasterConfig):
     return data, tile_start, tile_count, dropped
 
 
+GROUP2D = 8  # tiles per program (amortizes per-program fixed cost)
+
+
 def _surfel_fwd_kernel(
     tile_start_ref, tile_count_ref, bg_ref,
     data_ref,
-    out_color_ref,    # [1, 3, P]
-    out_alpha_ref,    # [1, 1, P]
-    out_depth_ref,    # [1, 1, P]
-    out_normal_ref,   # [1, 3, P]
-    out_median_ref,   # [1, 1, P]
-    out_dist_ref,     # [1, 1, P]
+    out_color_ref,    # [G, 3, P]
+    out_alpha_ref,    # [G, 1, P]
+    out_depth_ref,    # [G, 1, P]
+    out_normal_ref,   # [G, 3, P]
+    out_median_ref,   # [G, 1, P]
+    out_dist_ref,     # [G, 1, P]
     chunk_vmem, sem,
-    *, tiles_x: int, chunk: int,
+    *, tiles_x: int, chunk: int, group: int,
 ):
-    t = pl.program_id(0)
-    start = tile_start_ref[t]
-    count = tile_count_ref[t]
-    base = (start // 128) * 128
-    head = start - base
-    n_chunks = (head + count + chunk - 1) // chunk
-
+    pid = pl.program_id(0)
     p = TILE * TILE
-    tx = (t % tiles_x).astype(jnp.float32)
-    ty = (t // tiles_x).astype(jnp.float32)
     pix_row = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    pix_x = (tx * TILE) + (pix_row % TILE).astype(jnp.float32)
-    pix_y = (ty * TILE) + (pix_row // TILE).astype(jnp.float32)
+    px_loc = (pix_row % TILE).astype(jnp.float32)
+    py_loc = (pix_row // TILE).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     lane_f = lane.astype(jnp.float32)
     ltri = _strict_lower_tri(chunk)
 
-    def _copy(ci, slot):
+    def _copy(start, ci, slot):
+        base = (start // 128) * 128
         offset = pl.multiple_of(base + ci * chunk, 128)
         return pltpu.make_async_copy(
             data_ref.at[:, pl.ds(offset, chunk)], chunk_vmem.at[slot], sem.at[slot]
         )
 
-    @pl.when(n_chunks > 0)
-    def _():
-        _copy(jnp.int32(0), 0).start()
+    def _n_chunks(start, count):
+        head = start - (start // 128) * 128
+        return jnp.where(count > 0, (head + count + chunk - 1) // chunk, 0)
 
-    def body(carry):
-        (ci, t_carry, stopped, acc_c, acc_d, acc_n, med, acc_dist,
-         a_run, d_run, d2_run) = carry
-        slot = ci % 2
-        _copy(ci, slot).wait()
+    # hide HBM latency: chunk 0 of every tile in the group goes in flight now
+    for g in range(group):
+        t = pid * group + g
+        start = tile_start_ref[t]
 
-        @pl.when(ci + 1 < n_chunks)
-        def _():
-            _copy(ci + 1, 1 - slot).start()
+        @pl.when(tile_count_ref[t] > 0)
+        def _(start=start, g=g):
+            _copy(start, jnp.int32(0), g).start()
 
-        cur = chunk_vmem.at[slot]
-        m1x, m1y, m1z = cur[0:1, :], cur[1:2, :], cur[2:3, :]
-        m2x, m2y, m2z = cur[3:4, :], cur[4:5, :], cur[5:6, :]
-        m3x, m3y, m3z = cur[6:7, :], cur[7:8, :], cur[8:9, :]
-        zu, zv, zc = cur[9:10, :], cur[10:11, :], cur[11:12, :]
-        cx, cy = cur[12:13, :], cur[13:14, :]
-        opa = cur[17:18, :]
+    for g in range(group):
+        t = pid * group + g
+        start = tile_start_ref[t]
+        count = tile_count_ref[t]
+        head = start - (start // 128) * 128
+        n_chunks = _n_chunks(start, count)
+        tx = (t % tiles_x).astype(jnp.float32)
+        ty = (t // tiles_x).astype(jnp.float32)
+        pix_x = (tx * TILE) + px_loc
+        pix_y = (ty * TILE) + py_loc
 
-        hux = m1x - pix_x * m3x      # [p, C]
-        huy = m1y - pix_x * m3y
-        huz = m1z - pix_x * m3z
-        hvx = m2x - pix_y * m3x
-        hvy = m2y - pix_y * m3y
-        hvz = m2z - pix_y * m3z
-        sx = huy * hvz - huz * hvy
-        sy = huz * hvx - hux * hvz
-        s_z = hux * hvy - huy * hvx
-        sz = jnp.where(jnp.abs(s_z) > 1e-9, s_z, 1e-9)
-        u = jnp.clip(sx / sz, -1e3, 1e3)
-        v = jnp.clip(sy / sz, -1e3, 1e3)
+        # 2-deep pipeline: chunk 1 in flight before the loop, each iteration
+        # prefetches ci+2 (see pallas_fwd)
+        @pl.when(n_chunks > 1)
+        def _(start=start):
+            _copy(start, jnp.int32(1), group).start()
 
-        rho3d = u * u + v * v
-        dx = cx - pix_x
-        dy = cy - pix_y
-        rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
-        use3d = rho3d <= rho2d
-        rho = jnp.minimum(rho3d, rho2d)
-        alpha = jnp.minimum(ALPHA_MAX, opa * jnp.exp(-0.5 * rho))
-        z = jnp.where(use3d, u * zu + v * zv + zc, zc)
-        kpos = ci * chunk + lane
-        valid = (kpos >= head) & (kpos < head + count)
-        alpha = jnp.where(valid & (alpha >= ALPHA_MIN) & (z >= NEAR_PLANE), alpha, 0.0)
+        def body(carry, g=g, start=start, head=head, count=count,
+                 n_chunks=n_chunks, pix_x=pix_x, pix_y=pix_y):
+            (ci, t_carry, stopped, acc_c, acc_d, acc_n, med, acc_dist,
+             a_run, d_run, d2_run) = carry
+            slot = jnp.where(ci == 0, g, group + (ci - 1) % 3)
+            _copy(start, ci, slot).wait()
 
-        # exclusive (1-alpha) product in log space: one triangular MXU
-        # contraction replaces the log2(C)-step Hillis-Steele (pallas_fwd)
-        cum_excl = jnp.exp(_mm(jnp.log(1.0 - alpha), ltri, ((1,), (0,)), SCAN_PREC))
-        t_before = t_carry * cum_excl
-        t_after = t_before * (1.0 - alpha)
-        # reference sticky-done rule across chunks (see pallas_fwd.py);
-        # f32 0/1 carry — Mosaic can't legalize i1 while-loop carries
-        include = jnp.logical_and(stopped < 0.5, t_after >= T_EPS)
-        w = jnp.where(include, alpha * t_before, 0.0)
+            @pl.when(ci + 2 < n_chunks)
+            def _():
+                _copy(start, ci + 2, group + (ci + 1) % 3).start()
 
-        colors = cur[14:17, :]
-        acc_c = acc_c + jax.lax.dot_general(
-            colors, w, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            cur = chunk_vmem.at[slot]
+            m1x, m1y, m1z = cur[0:1, :], cur[1:2, :], cur[2:3, :]
+            m2x, m2y, m2z = cur[3:4, :], cur[4:5, :], cur[5:6, :]
+            m3x, m3y, m3z = cur[6:7, :], cur[7:8, :], cur[8:9, :]
+            zu, zv, zc = cur[9:10, :], cur[10:11, :], cur[11:12, :]
+            cx, cy = cur[12:13, :], cur[13:14, :]
+            opa = cur[17:18, :]
+
+            hux = m1x - pix_x * m3x      # [p, C]
+            huy = m1y - pix_x * m3y
+            huz = m1z - pix_x * m3z
+            hvx = m2x - pix_y * m3x
+            hvy = m2y - pix_y * m3y
+            hvz = m2z - pix_y * m3z
+            sx = huy * hvz - huz * hvy
+            sy = huz * hvx - hux * hvz
+            s_z = hux * hvy - huy * hvx
+            sz = jnp.where(jnp.abs(s_z) > 1e-9, s_z, 1e-9)
+            u = jnp.clip(sx / sz, -1e3, 1e3)
+            v = jnp.clip(sy / sz, -1e3, 1e3)
+
+            rho3d = u * u + v * v
+            dx = cx - pix_x
+            dy = cy - pix_y
+            rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
+            use3d = rho3d <= rho2d
+            rho = jnp.minimum(rho3d, rho2d)
+            alpha = jnp.minimum(ALPHA_MAX, opa * jnp.exp(-0.5 * rho))
+            z = jnp.where(use3d, u * zu + v * zv + zc, zc)
+            kpos = ci * chunk + lane
+            valid = (kpos >= head) & (kpos < head + count)
+            alpha = jnp.where(valid & (alpha >= ALPHA_MIN) & (z >= NEAR_PLANE), alpha, 0.0)
+
+            # exclusive (1-alpha) product in log space: one triangular MXU
+            # contraction replaces the log2(C)-step Hillis-Steele (pallas_fwd)
+            cum_excl = jnp.exp(_scan_mm(jnp.log(1.0 - alpha), ltri))
+            t_before = t_carry * cum_excl
+            t_after = t_before * (1.0 - alpha)
+            # reference sticky-done rule across chunks (see pallas_fwd.py);
+            # f32 0/1 carry — Mosaic can't legalize i1 while-loop carries
+            include = jnp.logical_and(stopped < 0.5, t_after >= T_EPS)
+            w = jnp.where(include, alpha * t_before, 0.0)
+
+            colors = cur[14:17, :]
+            acc_c = acc_c + jax.lax.dot_general(
+                colors, w, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            )
+            normals = cur[18:21, :]
+            acc_n = acc_n + jax.lax.dot_general(
+                normals, w, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            )
+            acc_d = acc_d + jnp.sum(w * z, axis=1, keepdims=True)
+
+            # median: z of the last included key with entry transmittance > 0.5
+            cond = include & (t_before > 0.5) & (alpha > 0.0)
+            r = jnp.where(cond, lane_f, -1.0)
+            kbest = jnp.max(r, axis=1, keepdims=True)
+            zsel = jnp.sum(jnp.where((r == kbest) & cond, z, 0.0), axis=1, keepdims=True)
+            med = jnp.where(kbest >= 0.0, zsel, med)
+
+            # distortion with cross-chunk (A, D, D2) carries
+            m = (FAR_PLANE / (FAR_PLANE - NEAR_PLANE)) * (1.0 - NEAR_PLANE / jnp.maximum(z, 1e-6))
+            wm = w * m
+            wm2 = wm * m
+            # exclusive prefix sums as MXU triangular contractions (exact f32)
+            a_pre = a_run + _scan_mm(w, ltri)
+            d_pre = d_run + _scan_mm(wm, ltri)
+            d2_pre = d2_run + _scan_mm(wm2, ltri)
+            acc_dist = acc_dist + jnp.sum(
+                w * (m * m * a_pre + d2_pre - 2.0 * m * d_pre), axis=1, keepdims=True
+            )
+            a_run = a_run + jnp.sum(w, axis=1, keepdims=True)
+            d_run = d_run + jnp.sum(wm, axis=1, keepdims=True)
+            d2_run = d2_run + jnp.sum(wm2, axis=1, keepdims=True)
+
+            t_carry = jnp.min(jnp.where(include, t_after, t_carry), axis=1, keepdims=True)
+            stopped = jnp.maximum(
+                stopped, (t_after[:, chunk - 1 : chunk] < T_EPS).astype(jnp.float32)
+            )
+            return (ci + 1, t_carry, stopped, acc_c, acc_d, acc_n, med, acc_dist,
+                    a_run, d_run, d2_run)
+
+        def cond_fn(carry, n_chunks=n_chunks):
+            ci, stopped = carry[0], carry[2]
+            return (ci < n_chunks) & (jnp.min(stopped) < 0.5)
+
+        zeros1 = jnp.zeros((p, 1), jnp.float32)
+        init = (
+            jnp.int32(0), jnp.ones((p, 1), jnp.float32),
+            jnp.zeros((p, 1), jnp.float32),
+            jnp.zeros((3, p), jnp.float32), zeros1,
+            jnp.zeros((3, p), jnp.float32), zeros1, zeros1, zeros1, zeros1, zeros1,
         )
-        normals = cur[18:21, :]
-        acc_n = acc_n + jax.lax.dot_general(
-            normals, w, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        (ci_final, t_final, _, acc_c, acc_d, acc_n, med, acc_dist, *_) = (
+            jax.lax.while_loop(cond_fn, body, init)
         )
-        acc_d = acc_d + jnp.sum(w * z, axis=1, keepdims=True)
 
-        # median: z of the last included key with entry transmittance > 0.5
-        cond = include & (t_before > 0.5) & (alpha > 0.0)
-        r = jnp.where(cond, lane_f, -1.0)
-        kbest = jnp.max(r, axis=1, keepdims=True)
-        zsel = jnp.sum(jnp.where((r == kbest) & cond, z, 0.0), axis=1, keepdims=True)
-        med = jnp.where(kbest >= 0.0, zsel, med)
+        # drain in-flight prefetches on early exit (2-deep pipeline)
+        for d in (0, 1):
+            @pl.when(ci_final + d < n_chunks)
+            def _(g=g, start=start, ci_final=ci_final, d=d):
+                ci_d = ci_final + d
+                slot = jnp.where(ci_d == 0, g, group + (ci_d - 1) % 3)
+                _copy(start, ci_d, slot).wait()
 
-        # distortion with cross-chunk (A, D, D2) carries
-        m = (FAR_PLANE / (FAR_PLANE - NEAR_PLANE)) * (1.0 - NEAR_PLANE / jnp.maximum(z, 1e-6))
-        wm = w * m
-        wm2 = wm * m
-        # exclusive prefix sums as MXU triangular contractions (exact f32)
-        a_pre = a_run + _mm(w, ltri, ((1,), (0,)), SCAN_PREC)
-        d_pre = d_run + _mm(wm, ltri, ((1,), (0,)), SCAN_PREC)
-        d2_pre = d2_run + _mm(wm2, ltri, ((1,), (0,)), SCAN_PREC)
-        acc_dist = acc_dist + jnp.sum(
-            w * (m * m * a_pre + d2_pre - 2.0 * m * d_pre), axis=1, keepdims=True
-        )
-        a_run = a_run + jnp.sum(w, axis=1, keepdims=True)
-        d_run = d_run + jnp.sum(wm, axis=1, keepdims=True)
-        d2_run = d2_run + jnp.sum(wm2, axis=1, keepdims=True)
-
-        t_carry = jnp.min(jnp.where(include, t_after, t_carry), axis=1, keepdims=True)
-        stopped = jnp.maximum(
-            stopped, (t_after[:, chunk - 1 : chunk] < T_EPS).astype(jnp.float32)
-        )
-        return (ci + 1, t_carry, stopped, acc_c, acc_d, acc_n, med, acc_dist,
-                a_run, d_run, d2_run)
-
-    def cond_fn(carry):
-        ci, stopped = carry[0], carry[2]
-        return (ci < n_chunks) & (jnp.min(stopped) < 0.5)
-
-    zeros1 = jnp.zeros((p, 1), jnp.float32)
-    init = (
-        jnp.int32(0), jnp.ones((p, 1), jnp.float32),
-        jnp.zeros((p, 1), jnp.float32),
-        jnp.zeros((3, p), jnp.float32), zeros1,
-        jnp.zeros((3, p), jnp.float32), zeros1, zeros1, zeros1, zeros1, zeros1,
-    )
-    (ci_final, t_final, _, acc_c, acc_d, acc_n, med, acc_dist, *_) = jax.lax.while_loop(
-        cond_fn, body, init
-    )
-
-    @pl.when(ci_final < n_chunks)
-    def _():
-        _copy(ci_final, ci_final % 2).wait()
-
-    t_row = t_final.reshape(1, p)
-    bg = bg_ref
-    out_color_ref[0, 0, :] = acc_c[0, :] + t_row[0, :] * bg[0]
-    out_color_ref[0, 1, :] = acc_c[1, :] + t_row[0, :] * bg[1]
-    out_color_ref[0, 2, :] = acc_c[2, :] + t_row[0, :] * bg[2]
-    out_alpha_ref[0, 0, :] = 1.0 - t_row[0, :]
-    out_depth_ref[0, 0, :] = acc_d.reshape(1, p)[0, :]
-    out_normal_ref[0] = acc_n
-    out_median_ref[0, 0, :] = med.reshape(1, p)[0, :]
-    out_dist_ref[0, 0, :] = acc_dist.reshape(1, p)[0, :]
+        t_row = t_final.reshape(1, p)
+        bg = bg_ref
+        out_color_ref[g, 0, :] = acc_c[0, :] + t_row[0, :] * bg[0]
+        out_color_ref[g, 1, :] = acc_c[1, :] + t_row[0, :] * bg[1]
+        out_color_ref[g, 2, :] = acc_c[2, :] + t_row[0, :] * bg[2]
+        out_alpha_ref[g, 0, :] = 1.0 - t_row[0, :]
+        out_depth_ref[g, 0, :] = acc_d.reshape(1, p)[0, :]
+        out_normal_ref[g] = acc_n
+        out_median_ref[g, 0, :] = med.reshape(1, p)[0, :]
+        out_dist_ref[g, 0, :] = acc_dist.reshape(1, p)[0, :]
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "cfg", "interpret"))
@@ -273,39 +301,48 @@ def _surfel_kernel_call(data, tile_start, tile_count, bg, *, width, height, cfg,
     num_tiles = tiles_x * tiles_y
     p = TILE * TILE
     chunk = cfg.pallas_chunk
+    group = GROUP2D
+    n_groups = -(-num_tiles // group)
+    t_pad = n_groups * group
+    pad = t_pad - num_tiles
     bg4 = jnp.concatenate([bg.astype(jnp.float32), jnp.zeros(1, jnp.float32)])
+    tile_start_p = jnp.pad(tile_start, (0, pad))
+    tile_count_p = jnp.pad(tile_count, (0, pad))
 
+    n_slots = group + 3
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(num_tiles,),
+        grid=(n_groups,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, 3, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, 3, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, SURFEL_ROWS, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_slots, SURFEL_ROWS, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_slots,)),
         ],
     )
-    kernel = functools.partial(_surfel_fwd_kernel, tiles_x=tiles_x, chunk=chunk)
-    return pl.pallas_call(
+    kernel = functools.partial(_surfel_fwd_kernel, tiles_x=tiles_x, chunk=chunk,
+                               group=group)
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, 3, p), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 3, p), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, 3, p), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, 3, p), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, 1, p), jnp.float32),
         ],
         interpret=interpret,
-    )(tile_start, tile_count, bg4, data)
+    )(tile_start_p, tile_count_p, bg4, data)
+    return tuple(o[:num_tiles] for o in outs)
 
 
 def rasterize_surfel_pallas_fwd_only(
@@ -322,7 +359,8 @@ def rasterize_surfel_pallas_fwd_only(
         colors_precomp=colors_precomp, scales=scales, quats=quats,
         scale_modifier=scale_modifier, screen_deltas=screen_deltas, alive=alive,
     )
-    data, tile_start, tile_count, dropped = surfel_stream(prep, w, h, cfg)
+    data, tile_start, tile_count, dropped = surfel_stream(prep, w, h, cfg,
+                                                           interpret=interpret)
     data = jnp.concatenate(
         [data, jnp.zeros((SURFEL_ROWS, cfg.pallas_chunk), jnp.float32)], axis=1
     )

@@ -36,8 +36,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .common import RasterConfig, TILE, fast_gather_rows, gather_rows_u16, grid_dims
-from .pallas import _aligned_routing, _f32, _i32
-from .pallas_fwd import SCAN_PREC, _mm, _strict_lower_tri, tiles_cp_to_image
+from .pallas import _aligned_routing, _f32, _i32, aligned_cap
+from .pallas_fwd import _scan_mm, _strict_lower_tri, tiles_cp_to_image
 from .pallas_bwd import _rev_cumsum_mxu, _suffix_tri
 from .pallas_surfel import SURFEL_ROWS
 from .surfel import (
@@ -100,151 +100,184 @@ def _surfel_geometry(cur, pix_x, pix_y):
     )
 
 
+GROUP2D_TRAIN = 8  # tiles per training program (fwd and bwd share it: the
+                   # group-aligned stream pads once per group, and the bwd
+                   # merge-carry needs a group's tiles in one program)
+
+
 def _surfel_train_fwd_kernel(
     tile_start_ref, tile_count_ref, bg_ref,
     data_ref,
-    out_color_ref,    # [1, 3, P]
-    out_alpha_ref,    # [1, 1, P]
-    out_depth_ref,    # [1, 1, P]
-    out_normal_ref,   # [1, 3, P]
-    out_median_ref,   # [1, 1, P]
-    out_dist_ref,     # [1, 1, P]
-    out_ncon_ref,     # [1, 1, P] i32
-    out_nmed_ref,     # [1, 1, P] i32
-    out_wm_ref,       # [1, 1, P] sum(w*m)
-    out_wm2_ref,      # [1, 1, P] sum(w*m^2)
+    out_color_ref,    # [G, 3, P]
+    out_alpha_ref,    # [G, 1, P]
+    out_depth_ref,    # [G, 1, P]
+    out_normal_ref,   # [G, 3, P]
+    out_median_ref,   # [G, 1, P]
+    out_dist_ref,     # [G, 1, P]
+    out_ncon_ref,     # [G, 1, P] i32
+    out_nmed_ref,     # [G, 1, P] i32
+    out_wm_ref,       # [G, 1, P] sum(w*m)
+    out_wm2_ref,      # [G, 1, P] sum(w*m^2)
     chunk_vmem, sem,
-    *, tiles_x: int, chunk: int,
+    *, tiles_x: int, chunk: int, group: int,
 ):
-    t = pl.program_id(0)
-    start = tile_start_ref[t]
-    count = tile_count_ref[t]
-    n_chunks = (count + chunk - 1) // chunk  # aligned stream: head = 0
-
+    pid = pl.program_id(0)
     p = TILE * TILE
-    tx = (t % tiles_x).astype(jnp.float32)
-    ty = (t // tiles_x).astype(jnp.float32)
     pix_row = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    pix_x = (tx * TILE) + (pix_row % TILE).astype(jnp.float32)
-    pix_y = (ty * TILE) + (pix_row // TILE).astype(jnp.float32)
+    px_loc = (pix_row % TILE).astype(jnp.float32)
+    py_loc = (pix_row // TILE).astype(jnp.float32)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     ltri = _strict_lower_tri(chunk)
 
-    def _copy(ci, slot):
-        offset = pl.multiple_of(start + ci * chunk, 128)
+    def _copy(start, ci, slot):
+        # chunk-granular base: read windows sit on the global chunk grid
+        # (group-aligned stream: a tile may start mid-chunk)
+        base = (start // chunk) * chunk
+        offset = pl.multiple_of(base + ci * chunk, 128)
         return pltpu.make_async_copy(
             data_ref.at[:, pl.ds(offset, chunk)], chunk_vmem.at[slot], sem.at[slot]
         )
 
-    @pl.when(n_chunks > 0)
-    def _():
-        _copy(jnp.int32(0), 0).start()
+    def _n_chunks(start, count):
+        head = start % chunk
+        return jnp.where(count > 0, (head + count + chunk - 1) // chunk, 0)
 
-    def body(carry):
-        (ci, t_carry, stopped, acc_c, acc_d, acc_n, med, acc_dist,
-         a_run, d_run, d2_run, n_con, n_med) = carry
-        slot = ci % 2
-        _copy(ci, slot).wait()
+    # chunk 0 of every tile in the group goes in flight up front
+    for g in range(group):
+        t = pid * group + g
+        start = tile_start_ref[t]
 
-        @pl.when(ci + 1 < n_chunks)
-        def _():
-            _copy(ci + 1, 1 - slot).start()
+        @pl.when(tile_count_ref[t] > 0)
+        def _(start=start, g=g):
+            _copy(start, jnp.int32(0), g).start()
 
-        cur = chunk_vmem.at[slot]
-        geo = _surfel_geometry(cur, pix_x, pix_y)
-        alpha, z = geo["alpha"], geo["z"]
-        kpos = ci * chunk + lane
-        valid = kpos < count
-        alpha = jnp.where(valid & (alpha >= ALPHA_MIN) & (z >= NEAR_PLANE), alpha, 0.0)
+    for g in range(group):
+        t = pid * group + g
+        start = tile_start_ref[t]
+        count = tile_count_ref[t]
+        head = start % chunk
+        n_chunks = _n_chunks(start, count)
+        tx = (t % tiles_x).astype(jnp.float32)
+        ty = (t // tiles_x).astype(jnp.float32)
+        pix_x = (tx * TILE) + px_loc
+        pix_y = (ty * TILE) + py_loc
 
-        # exclusive (1-alpha) product in log space: one triangular MXU
-        # contraction replaces the log2(C)-step Hillis-Steele (see pallas_fwd)
-        cum_excl = jnp.exp(_mm(jnp.log(1.0 - alpha), ltri, ((1,), (0,)), SCAN_PREC))
-        t_before = t_carry * cum_excl
-        t_after = t_before * (1.0 - alpha)
-        include = jnp.logical_and(stopped < 0.5, t_after >= T_EPS)
-        w = jnp.where(include, alpha * t_before, 0.0)
+        @pl.when(n_chunks > 1)
+        def _(start=start):
+            _copy(start, jnp.int32(1), group).start()
 
-        colors = cur[14:17, :]
-        acc_c = acc_c + jax.lax.dot_general(
-            colors, w, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        def body(carry, g=g, start=start, head=head, count=count,
+                 n_chunks=n_chunks, pix_x=pix_x, pix_y=pix_y):
+            (ci, t_carry, stopped, acc_c, acc_d, acc_n, med, acc_dist,
+             a_run, d_run, d2_run, n_con, n_med) = carry
+            slot = jnp.where(ci == 0, g, group + (ci - 1) % 3)
+            _copy(start, ci, slot).wait()
+
+            @pl.when(ci + 2 < n_chunks)
+            def _():
+                _copy(start, ci + 2, group + (ci + 1) % 3).start()
+
+            cur = chunk_vmem.at[slot]
+            geo = _surfel_geometry(cur, pix_x, pix_y)
+            alpha, z = geo["alpha"], geo["z"]
+            kpos = ci * chunk + lane
+            valid = (kpos >= head) & (kpos < head + count)
+            alpha = jnp.where(
+                valid & (alpha >= ALPHA_MIN) & (z >= NEAR_PLANE), alpha, 0.0
+            )
+
+            # exclusive (1-alpha) product in log space: one triangular MXU
+            # contraction replaces the log2(C)-step Hillis-Steele (see pallas_fwd)
+            cum_excl = jnp.exp(_scan_mm(jnp.log(1.0 - alpha), ltri))
+            t_before = t_carry * cum_excl
+            t_after = t_before * (1.0 - alpha)
+            include = jnp.logical_and(stopped < 0.5, t_after >= T_EPS)
+            w = jnp.where(include, alpha * t_before, 0.0)
+
+            colors = cur[14:17, :]
+            acc_c = acc_c + jax.lax.dot_general(
+                colors, w, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            )
+            normals = cur[18:21, :]
+            acc_n = acc_n + jax.lax.dot_general(
+                normals, w, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            )
+            acc_d = acc_d + jnp.sum(w * z, axis=1, keepdims=True)
+
+            contrib = jnp.logical_and(include, alpha > 0.0)
+            pos1 = (kpos - head) + 1  # 1-based position from segment start
+            n_con = jnp.maximum(
+                n_con, jnp.max(jnp.where(contrib, pos1, 0), axis=1, keepdims=True)
+            )
+
+            # median: last contributor with entry transmittance > 0.5
+            cond = contrib & (t_before > 0.5)
+            r = jnp.max(jnp.where(cond, pos1, 0), axis=1, keepdims=True)
+            zsel = jnp.sum(jnp.where(pos1 == r, z, 0.0), axis=1, keepdims=True)
+            has = r > 0
+            med = jnp.where(has, zsel, med)
+            n_med = jnp.where(has, r, n_med)
+
+            m = FF * (1.0 - NEAR_PLANE / jnp.maximum(z, 1e-6))
+            wm = w * m
+            wm2 = wm * m
+            # exclusive prefix sums as MXU triangular contractions (exact f32)
+            a_pre = a_run + _scan_mm(w, ltri)
+            d_pre = d_run + _scan_mm(wm, ltri)
+            d2_pre = d2_run + _scan_mm(wm2, ltri)
+            acc_dist = acc_dist + jnp.sum(
+                w * (m * m * a_pre + d2_pre - 2.0 * m * d_pre), axis=1, keepdims=True
+            )
+            a_run = a_run + jnp.sum(w, axis=1, keepdims=True)
+            d_run = d_run + jnp.sum(wm, axis=1, keepdims=True)
+            d2_run = d2_run + jnp.sum(wm2, axis=1, keepdims=True)
+
+            t_carry = jnp.min(jnp.where(include, t_after, t_carry), axis=1, keepdims=True)
+            stopped = jnp.maximum(
+                stopped, (t_after[:, chunk - 1 : chunk] < T_EPS).astype(jnp.float32)
+            )
+            return (ci + 1, t_carry, stopped, acc_c, acc_d, acc_n, med, acc_dist,
+                    a_run, d_run, d2_run, n_con, n_med)
+
+        def cond_fn(carry, n_chunks=n_chunks):
+            ci, stopped = carry[0], carry[2]
+            return (ci < n_chunks) & (jnp.min(stopped) < 0.5)
+
+        zeros1 = jnp.zeros((p, 1), jnp.float32)
+        zi = jnp.zeros((p, 1), jnp.int32)
+        init = (
+            jnp.int32(0), jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32),
+            jnp.zeros((3, p), jnp.float32), zeros1,
+            jnp.zeros((3, p), jnp.float32), zeros1, zeros1, zeros1, zeros1, zeros1,
+            zi, zi,
         )
-        normals = cur[18:21, :]
-        acc_n = acc_n + jax.lax.dot_general(
-            normals, w, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-        )
-        acc_d = acc_d + jnp.sum(w * z, axis=1, keepdims=True)
+        (ci_final, t_final, _, acc_c, acc_d, acc_n, med, acc_dist,
+         _, d_run, d2_run, n_con, n_med) = jax.lax.while_loop(cond_fn, body, init)
 
-        contrib = jnp.logical_and(include, alpha > 0.0)
-        pos1 = kpos + 1
-        n_con = jnp.maximum(
-            n_con, jnp.max(jnp.where(contrib, pos1, 0), axis=1, keepdims=True)
-        )
+        # drain in-flight prefetches on early exit (2-deep pipeline)
+        for d in (0, 1):
+            @pl.when(ci_final + d < n_chunks)
+            def _(g=g, start=start, ci_final=ci_final, d=d):
+                ci_d = ci_final + d
+                slot = jnp.where(ci_d == 0, g, group + (ci_d - 1) % 3)
+                _copy(start, ci_d, slot).wait()
 
-        # median: last contributor with entry transmittance > 0.5
-        cond = contrib & (t_before > 0.5)
-        r = jnp.max(jnp.where(cond, pos1, 0), axis=1, keepdims=True)
-        zsel = jnp.sum(jnp.where(pos1 == r, z, 0.0), axis=1, keepdims=True)
-        has = r > 0
-        med = jnp.where(has, zsel, med)
-        n_med = jnp.where(has, r, n_med)
-
-        m = FF * (1.0 - NEAR_PLANE / jnp.maximum(z, 1e-6))
-        wm = w * m
-        wm2 = wm * m
-        # exclusive prefix sums as MXU triangular contractions (exact f32)
-        a_pre = a_run + _mm(w, ltri, ((1,), (0,)), SCAN_PREC)
-        d_pre = d_run + _mm(wm, ltri, ((1,), (0,)), SCAN_PREC)
-        d2_pre = d2_run + _mm(wm2, ltri, ((1,), (0,)), SCAN_PREC)
-        acc_dist = acc_dist + jnp.sum(
-            w * (m * m * a_pre + d2_pre - 2.0 * m * d_pre), axis=1, keepdims=True
-        )
-        a_run = a_run + jnp.sum(w, axis=1, keepdims=True)
-        d_run = d_run + jnp.sum(wm, axis=1, keepdims=True)
-        d2_run = d2_run + jnp.sum(wm2, axis=1, keepdims=True)
-
-        t_carry = jnp.min(jnp.where(include, t_after, t_carry), axis=1, keepdims=True)
-        stopped = jnp.maximum(
-            stopped, (t_after[:, chunk - 1 : chunk] < T_EPS).astype(jnp.float32)
-        )
-        return (ci + 1, t_carry, stopped, acc_c, acc_d, acc_n, med, acc_dist,
-                a_run, d_run, d2_run, n_con, n_med)
-
-    def cond_fn(carry):
-        ci, stopped = carry[0], carry[2]
-        return (ci < n_chunks) & (jnp.min(stopped) < 0.5)
-
-    zeros1 = jnp.zeros((p, 1), jnp.float32)
-    zi = jnp.zeros((p, 1), jnp.int32)
-    init = (
-        jnp.int32(0), jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32),
-        jnp.zeros((3, p), jnp.float32), zeros1,
-        jnp.zeros((3, p), jnp.float32), zeros1, zeros1, zeros1, zeros1, zeros1,
-        zi, zi,
-    )
-    (ci_final, t_final, _, acc_c, acc_d, acc_n, med, acc_dist,
-     _, d_run, d2_run, n_con, n_med) = jax.lax.while_loop(cond_fn, body, init)
-
-    @pl.when(ci_final < n_chunks)
-    def _():
-        _copy(ci_final, ci_final % 2).wait()
-
-    t_row = t_final.reshape(1, p)
-    bg = bg_ref
-    out_color_ref[0, 0, :] = acc_c[0, :] + t_row[0, :] * bg[0]
-    out_color_ref[0, 1, :] = acc_c[1, :] + t_row[0, :] * bg[1]
-    out_color_ref[0, 2, :] = acc_c[2, :] + t_row[0, :] * bg[2]
-    out_alpha_ref[0, 0, :] = 1.0 - t_row[0, :]
-    out_depth_ref[0, 0, :] = acc_d.reshape(1, p)[0, :]
-    out_normal_ref[0] = acc_n
-    out_median_ref[0, 0, :] = med.reshape(1, p)[0, :]
-    out_dist_ref[0, 0, :] = acc_dist.reshape(1, p)[0, :]
-    out_ncon_ref[0, 0, :] = n_con.reshape(1, p)[0, :]
-    out_nmed_ref[0, 0, :] = n_med.reshape(1, p)[0, :]
-    out_wm_ref[0, 0, :] = d_run.reshape(1, p)[0, :]
-    out_wm2_ref[0, 0, :] = d2_run.reshape(1, p)[0, :]
+        t_row = t_final.reshape(1, p)
+        bg = bg_ref
+        out_color_ref[g, 0, :] = acc_c[0, :] + t_row[0, :] * bg[0]
+        out_color_ref[g, 1, :] = acc_c[1, :] + t_row[0, :] * bg[1]
+        out_color_ref[g, 2, :] = acc_c[2, :] + t_row[0, :] * bg[2]
+        out_alpha_ref[g, 0, :] = 1.0 - t_row[0, :]
+        out_depth_ref[g, 0, :] = acc_d.reshape(1, p)[0, :]
+        out_normal_ref[g] = acc_n
+        out_median_ref[g, 0, :] = med.reshape(1, p)[0, :]
+        out_dist_ref[g, 0, :] = acc_dist.reshape(1, p)[0, :]
+        out_ncon_ref[g, 0, :] = n_con.reshape(1, p)[0, :]
+        out_nmed_ref[g, 0, :] = n_med.reshape(1, p)[0, :]
+        out_wm_ref[g, 0, :] = d_run.reshape(1, p)[0, :]
+        out_wm2_ref[g, 0, :] = d2_run.reshape(1, p)[0, :]
 
 
 def _surfel_bwd_kernel(
@@ -255,45 +288,20 @@ def _surfel_bwd_kernel(
     alpha_out_ref, ncon_ref, nmed_ref, wm_ref, wm2_ref,
     out_grads_ref,    # [K_al/C, 24, C]
     chunk_vmem, grad_vmem, sem_in, sem_out,
-    *, tiles_x: int, chunk: int,
+    *, tiles_x: int, chunk: int, group: int,
 ):
-    t = pl.program_id(0)
-    start = tile_start_ref[t]
-    count = tile_count_ref[t]
-    cbase = start // chunk
+    pid = pl.program_id(0)
     tri = _suffix_tri(chunk)
-
     p = TILE * TILE
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-    tx = (t % tiles_x).astype(jnp.float32)
-    ty = (t // tiles_x).astype(jnp.float32)
     pix_row = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    pix_x = (tx * TILE) + (pix_row % TILE).astype(jnp.float32)
-    pix_y = (ty * TILE) + (pix_row // TILE).astype(jnp.float32)
-
-    g_c = g_color_ref[0]                       # [3, P]
-    g_a = g_alpha_ref[0]                       # [1, P]
-    g_d = g_depth_ref[0]                       # [1, P]
-    g_n = g_normal_ref[0]                      # [3, P]
-    g_med = g_median_ref[0].reshape(p, 1)
-    g_dist = g_dist_ref[0].reshape(p, 1)
-    a_all = alpha_out_ref[0].reshape(p, 1)     # sum(w) = 1 - T_final
-    t_final_row = 1.0 - alpha_out_ref[0]       # [1, P]
-    n_con_col = ncon_ref[0].reshape(p, 1)
-    n_med_col = nmed_ref[0].reshape(p, 1)
-    d_all = wm_ref[0].reshape(p, 1)
-    d2_all = wm2_ref[0].reshape(p, 1)
-
+    px_loc = (pix_row % TILE).astype(jnp.float32)
+    py_loc = (pix_row // TILE).astype(jnp.float32)
     bg = bg_ref
-    g_t = bg[0] * g_c[0:1, :] + bg[1] * g_c[1:2, :] + bg[2] * g_c[2:3, :] - g_a
-    gt_term = (t_final_row * g_t).reshape(p, 1)
-    g_d_col = g_d.reshape(p, 1)
 
-    max_inc = jnp.minimum(jnp.max(n_con_col), count)
-    hi = (max_inc + chunk - 1) // chunk
-
-    def _copy_in(ci, slot):
-        offset = pl.multiple_of(start + ci * chunk, 128)
+    def _copy_in(start, ci, slot):
+        base = (start // chunk) * chunk
+        offset = pl.multiple_of(base + ci * chunk, 128)
         return pltpu.make_async_copy(
             data_ref.at[:, pl.ds(offset, chunk)], chunk_vmem.at[slot],
             sem_in.at[slot],
@@ -304,173 +312,259 @@ def _surfel_bwd_kernel(
             grad_vmem.at[slot_idx], out_grads_ref.at[0], sem_out.at[slot_idx]
         ).wait()
 
-    # reverse-walk pipeline: the last chunk goes in flight before the loop
-    @pl.when(hi > 0)
-    def _():
-        _copy_in(hi - 1, (hi - 1) % 2).start()
+    def _hi(g):
+        t = pid * group + g
+        start = tile_start_ref[t]
+        count = tile_count_ref[t]
+        head = start % chunk
+        n_con = ncon_ref[g]
+        max_inc = jnp.minimum(jnp.max(n_con), count)
+        return jnp.where(count > 0, (head + max_inc + chunk - 1) // chunk, 0)
 
-    def body(carry):
-        ci, t_run, s_run, w0, w1 = carry
-        in_slot = ci % 2
+    # prefetch the last chunk of every tile in the group
+    for g in range(group):
+        t = pid * group + g
+        start = tile_start_ref[t]
+        hi = _hi(g)
 
-        @pl.when(ci - 1 >= 0)
-        def _():
-            _copy_in(ci - 1, (ci - 1) % 2).start()
+        @pl.when(hi > 0)
+        def _(start=start, hi=hi, g=g):
+            _copy_in(start, hi - 1, g).start()
 
-        _copy_in(ci, in_slot).wait()
-        cur = chunk_vmem.at[in_slot]
-        geo = _surfel_geometry(cur, pix_x, pix_y)
-        alpha, z = geo["alpha"], geo["z"]
-        alpha_u, big_g = geo["alpha_u"], geo["big_g"]
-        u, v, use3d = geo["u"], geo["v"], geo["use3d"]
-        zu, zv, opa = geo["zu"], geo["zv"], geo["opa"]
-        dx, dy = geo["dx"], geo["dy"]
-        sx, sy, s_z = geo["s"]
-        sz = geo["sz"]
-        hux, huy, huz = geo["hu"]
-        hvx, hvy, hvz = geo["hv"]
+    # merge-carry writer (see pallas_bwd._bwd_kernel): tiles in REVERSE
+    # order + reverse chunk walks => global block visits non-increasing;
+    # the open carry block accumulates tile-straddling contributions in
+    # VMEM and is flushed once a lower block appears
+    carry_w = (jnp.int32(-1), jnp.int32(1), jnp.float32(0.0), jnp.float32(0.0))
 
-        kpos = ci * chunk + lane
-        in_seg = kpos < count
-        amask = in_seg & (alpha >= ALPHA_MIN) & (z >= NEAR_PLANE)
-        alpha_eff = jnp.where(amask, alpha, 0.0)
+    for g in reversed(range(group)):
+        t = pid * group + g
+        start = tile_start_ref[t]
+        count = tile_count_ref[t]
+        cbase = start // chunk
+        head = start % chunk
+        hi = _hi(g)
+        tx = (t % tiles_x).astype(jnp.float32)
+        ty = (t // tiles_x).astype(jnp.float32)
+        pix_x = (tx * TILE) + px_loc
+        pix_y = (ty * TILE) + py_loc
 
-        include = in_seg & (kpos < n_con_col)               # [p, C]
-        om = jnp.where(include, 1.0 - alpha_eff, 1.0)
-        # T_before = T_run / prod_{j>=i} om_j, reconstructed in log space via
-        # one triangular MXU contraction (alpha <= 0.99 bounds each term)
-        revlog = _mm(jnp.log(om), tri, ((1,), (0,)), SCAN_PREC)
-        t_before = t_run * jnp.exp(-revlog)
-        w = jnp.where(include, alpha_eff * t_before, 0.0)
+        g_c = g_color_ref[g]                       # [3, P]
+        g_a = g_alpha_ref[g]                       # [1, P]
+        g_d = g_depth_ref[g]                       # [1, P]
+        g_n = g_normal_ref[g]                      # [3, P]
+        g_med = g_median_ref[g].reshape(p, 1)
+        g_dist = g_dist_ref[g].reshape(p, 1)
+        a_all = alpha_out_ref[g].reshape(p, 1)     # sum(w) = 1 - T_final
+        t_final_row = 1.0 - alpha_out_ref[g]       # [1, P]
+        n_con_col = ncon_ref[g].reshape(p, 1)
+        n_med_col = nmed_ref[g].reshape(p, 1)
+        d_all = wm_ref[g].reshape(p, 1)
+        d2_all = wm2_ref[g].reshape(p, 1)
 
-        m = FF * (1.0 - NEAR_PLANE / jnp.maximum(z, 1e-6))
-        wm = w * m
-        wm2 = wm * m
-        # telescoped distortion coefficients (prefix+suffix totals)
-        a_bar = a_all - w
-        d_bar = d_all - wm
-        d2_bar = d2_all - wm2
-        psi = m * m * a_bar + d2_bar - 2.0 * m * d_bar
+        g_t = bg[0] * g_c[0:1, :] + bg[1] * g_c[1:2, :] + bg[2] * g_c[2:3, :] - g_a
+        gt_term = (t_final_row * g_t).reshape(p, 1)
+        g_d_col = g_d.reshape(p, 1)
 
-        colors = cur[14:17, :]
-        normals = cur[18:21, :]
-        # u_i(p) = c.g_C + n.g_N + z g_D + g_dist psi
-        uu = jax.lax.dot_general(
-            g_c, colors, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+        def body(carry, g=g, start=start, head=head, count=count, hi=hi,
+                 cbase=cbase, pix_x=pix_x, pix_y=pix_y, g_c=g_c, g_n=g_n,
+                 g_med=g_med, g_dist=g_dist, a_all=a_all, gt_term=gt_term,
+                 g_d_col=g_d_col, n_con_col=n_con_col, n_med_col=n_med_col,
+                 d_all=d_all, d2_all=d2_all):
+            ci, t_run, s_run, cblk, cslot, w0, w1 = carry
+            in_slot = jnp.where(ci == hi - 1, g, group + ci % 2)
+
+            @pl.when(ci - 1 >= 0)
+            def _():
+                _copy_in(start, ci - 1, group + (ci - 1) % 2).start()
+
+            _copy_in(start, ci, in_slot).wait()
+            cur = chunk_vmem.at[in_slot]
+            geo = _surfel_geometry(cur, pix_x, pix_y)
+            alpha, z = geo["alpha"], geo["z"]
+            alpha_u, big_g = geo["alpha_u"], geo["big_g"]
+            u, v, use3d = geo["u"], geo["v"], geo["use3d"]
+            zu, zv, opa = geo["zu"], geo["zv"], geo["opa"]
+            dx, dy = geo["dx"], geo["dy"]
+            sx, sy, s_z = geo["s"]
+            sz = geo["sz"]
+            hux, huy, huz = geo["hu"]
+            hvx, hvy, hvz = geo["hv"]
+
+            kpos = ci * chunk + lane
+            in_seg = (kpos >= head) & (kpos < head + count)
+            amask = in_seg & (alpha >= ALPHA_MIN) & (z >= NEAR_PLANE)
+            alpha_eff = jnp.where(amask, alpha, 0.0)
+
+            include = in_seg & ((kpos - head) < n_con_col)      # [p, C]
+            om = jnp.where(include, 1.0 - alpha_eff, 1.0)
+            # T_before = T_run / prod_{j>=i} om_j, reconstructed in log space via
+            # one triangular MXU contraction (alpha <= 0.99 bounds each term)
+            revlog = _scan_mm(jnp.log(om), tri)
+            t_before = t_run * jnp.exp(-revlog)
+            w = jnp.where(include, alpha_eff * t_before, 0.0)
+
+            m = FF * (1.0 - NEAR_PLANE / jnp.maximum(z, 1e-6))
+            wm = w * m
+            wm2 = wm * m
+            # telescoped distortion coefficients (prefix+suffix totals)
+            a_bar = a_all - w
+            d_bar = d_all - wm
+            d2_bar = d2_all - wm2
+            psi = m * m * a_bar + d2_bar - 2.0 * m * d_bar
+
+            colors = cur[14:17, :]
+            normals = cur[18:21, :]
+            # u_i(p) = c.g_C + n.g_N + z g_D + g_dist psi
+            uu = jax.lax.dot_general(
+                g_c, colors, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            )
+            uu = uu + jax.lax.dot_general(
+                g_n, normals, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            )
+            uu = uu + g_d_col * z + g_dist * psi
+
+            wu = w * uu
+            revsum_incl = _rev_cumsum_mxu(wu, tri)
+            s_i = s_run + revsum_incl - wu
+
+            one_minus = jnp.where(amask, 1.0 - alpha_eff, 1.0)
+            dalpha = t_before * uu - (s_i + gt_term) / one_minus
+            emit = amask & include
+            dalpha = jnp.where(emit, dalpha, 0.0)
+
+            # dL/dz: expected-depth, distortion (dm/dz), median select
+            dm = g_dist * 2.0 * w * (m * a_bar - d_bar)
+            dmdz = FF * NEAR_PLANE / jnp.maximum(z * z, 1e-12)
+            ismed = ((kpos - head) + 1) == n_med_col
+            dz = w * g_d_col + dm * dmdz + jnp.where(ismed, g_med, 0.0)
+
+            # alpha = min(0.99, opa*G), G = exp(-rho/2); CUDA propagates through
+            # opa*G unconditionally
+            d_opa_px = big_g * dalpha                           # [p, C]
+            drho = -0.5 * alpha_u * dalpha
+            # rho = min(rho3d, rho2d); z = use3d ? u zu + v zv + zc : zc
+            du = jnp.where(use3d, 2.0 * u * drho + zu * dz, 0.0)
+            dv = jnp.where(use3d, 2.0 * v * drho + zv * dz, 0.0)
+            # clip gates (jnp.clip VJP semantics)
+            du = jnp.where((geo["u_raw"] >= -1e3) & (geo["u_raw"] <= 1e3), du, 0.0)
+            dv = jnp.where((geo["v_raw"] >= -1e3) & (geo["v_raw"] <= 1e3), dv, 0.0)
+            d_zc_px = dz
+            d_zu_px = jnp.where(use3d, u * dz, 0.0)
+            d_zv_px = jnp.where(use3d, v * dz, 0.0)
+
+            not3d = jnp.logical_not(use3d)
+            two_f = 2.0 * FILTER_INV_SQUARE
+            d_cx_px = jnp.where(not3d, two_f * dx * drho, 0.0)
+            d_cy_px = jnp.where(not3d, two_f * dy * drho, 0.0)
+
+            # u = sx/sz, v = sy/sz (sz gradient only where |s_z| > 1e-9)
+            inv_sz = 1.0 / sz
+            dsx = du * inv_sz
+            dsy = dv * inv_sz
+            dsz = -(u * du + v * dv) * inv_sz
+            dsz = jnp.where(jnp.abs(s_z) > 1e-9, dsz, 0.0)
+            # s = hu x hv
+            d_hux = -dsy * hvz + dsz * hvy
+            d_huy = dsx * hvz - dsz * hvx
+            d_huz = -dsx * hvy + dsy * hvx
+            d_hvx = dsy * huz - dsz * huy
+            d_hvy = -dsx * huz + dsz * hux
+            d_hvz = dsx * huy - dsy * hux
+            # hu = m1 - px*m3 ; hv = m2 - py*m3
+
+            def pxsum(x):
+                return jnp.sum(x, axis=0, keepdims=True)        # [1, C]
+
+            d_color = jax.lax.dot_general(
+                g_c, w, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            )
+            d_normal = jax.lax.dot_general(
+                g_n, w, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+            )
+            g24 = jnp.concatenate(
+                [
+                    pxsum(d_hux), pxsum(d_huy), pxsum(d_huz),
+                    pxsum(d_hvx), pxsum(d_hvy), pxsum(d_hvz),
+                    pxsum(-pix_x * d_hux - pix_y * d_hvx),
+                    pxsum(-pix_x * d_huy - pix_y * d_hvy),
+                    pxsum(-pix_x * d_huz - pix_y * d_hvz),
+                    pxsum(d_zu_px), pxsum(d_zv_px), pxsum(d_zc_px),
+                    pxsum(d_cx_px), pxsum(d_cy_px),
+                    d_color, pxsum(d_opa_px), d_normal,
+                    jnp.zeros((3, chunk), jnp.float32),
+                ],
+                axis=0,
+            )                                                   # [24, C]
+
+            # merge-carry write (out-of-segment lanes are exactly zero, so
+            # accumulating straddling tiles' blocks is a plain add)
+            B = cbase + ci
+            is_merge = B == cblk
+            for k in (0, 1):
+                @pl.when(is_merge & (cslot == k))
+                def _(k=k):
+                    grad_vmem[k] = grad_vmem[k] + g24
+
+            new_slot = 1 - cslot
+            for k in (0, 1):
+                pend = w0 if k == 0 else w1
+
+                @pl.when(~is_merge & (new_slot == k) & (pend > 0.5))
+                def _(k=k):
+                    _wait_out(k)
+
+                @pl.when(~is_merge & (cslot == k) & (cblk >= 0))
+                def _(k=k):
+                    pltpu.make_async_copy(
+                        grad_vmem.at[k], out_grads_ref.at[cblk],
+                        sem_out.at[k],
+                    ).start()
+
+                @pl.when(~is_merge & (new_slot == k))
+                def _(k=k):
+                    grad_vmem[k] = g24
+
+            nm = ~is_merge
+            fl0 = nm & (cslot == 0) & (cblk >= 0)
+            fl1 = nm & (cslot == 1) & (cblk >= 0)
+            to0 = nm & (new_slot == 0)
+            to1 = nm & (new_slot == 1)
+            w0 = jnp.where(to0, 0.0, jnp.where(fl0, 1.0, w0))
+            w1 = jnp.where(to1, 0.0, jnp.where(fl1, 1.0, w1))
+            cslot = jnp.where(nm, new_slot, cslot)
+            cblk = jnp.where(nm, B, cblk)
+
+            t_run = t_run * jnp.exp(-revlog[:, 0:1])
+            s_run = s_run + revsum_incl[:, 0:1]
+            return ci - 1, t_run, s_run, cblk, cslot, w0, w1
+
+        def cond(carry):
+            return carry[0] >= 0
+
+        t0 = t_final_row.reshape(p, 1)
+        s0 = jnp.zeros((p, 1), jnp.float32)
+        _, _, _, cblk, cslot, w0, w1 = jax.lax.while_loop(
+            cond, body,
+            (hi - 1, t0, s0, carry_w[0], carry_w[1], carry_w[2], carry_w[3]),
         )
-        uu = uu + jax.lax.dot_general(
-            g_n, normals, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-        )
-        uu = uu + g_d_col * z + g_dist * psi
+        carry_w = (cblk, cslot, w0, w1)
 
-        wu = w * uu
-        revsum_incl = _rev_cumsum_mxu(wu, tri)
-        s_i = s_run + revsum_incl - wu
+    # final flush of the open carry, then drain both slots
+    cblk, cslot, w0, w1 = carry_w
+    for k in (0, 1):
+        @pl.when((cblk >= 0) & (cslot == k))
+        def _(k=k):
+            pltpu.make_async_copy(
+                grad_vmem.at[k], out_grads_ref.at[cblk], sem_out.at[k]
+            ).start()
 
-        one_minus = jnp.where(amask, 1.0 - alpha_eff, 1.0)
-        dalpha = t_before * uu - (s_i + gt_term) / one_minus
-        emit = amask & include
-        dalpha = jnp.where(emit, dalpha, 0.0)
-
-        # dL/dz: expected-depth, distortion (dm/dz), median select
-        dm = g_dist * 2.0 * w * (m * a_bar - d_bar)
-        dmdz = FF * NEAR_PLANE / jnp.maximum(z * z, 1e-12)
-        ismed = (kpos + 1) == n_med_col
-        dz = w * g_d_col + dm * dmdz + jnp.where(ismed, g_med, 0.0)
-
-        # alpha = min(0.99, opa*G), G = exp(-rho/2); CUDA propagates through
-        # opa*G unconditionally
-        d_opa_px = big_g * dalpha                           # [p, C]
-        drho = -0.5 * alpha_u * dalpha
-        # rho = min(rho3d, rho2d); z = use3d ? u zu + v zv + zc : zc
-        du = jnp.where(use3d, 2.0 * u * drho + zu * dz, 0.0)
-        dv = jnp.where(use3d, 2.0 * v * drho + zv * dz, 0.0)
-        # clip gates (jnp.clip VJP semantics)
-        du = jnp.where((geo["u_raw"] >= -1e3) & (geo["u_raw"] <= 1e3), du, 0.0)
-        dv = jnp.where((geo["v_raw"] >= -1e3) & (geo["v_raw"] <= 1e3), dv, 0.0)
-        d_zc_px = dz
-        d_zu_px = jnp.where(use3d, u * dz, 0.0)
-        d_zv_px = jnp.where(use3d, v * dz, 0.0)
-
-        not3d = jnp.logical_not(use3d)
-        two_f = 2.0 * FILTER_INV_SQUARE
-        d_cx_px = jnp.where(not3d, two_f * dx * drho, 0.0)
-        d_cy_px = jnp.where(not3d, two_f * dy * drho, 0.0)
-
-        # u = sx/sz, v = sy/sz (sz gradient only where |s_z| > 1e-9)
-        inv_sz = 1.0 / sz
-        dsx = du * inv_sz
-        dsy = dv * inv_sz
-        dsz = -(u * du + v * dv) * inv_sz
-        dsz = jnp.where(jnp.abs(s_z) > 1e-9, dsz, 0.0)
-        # s = hu x hv
-        d_hux = -dsy * hvz + dsz * hvy
-        d_huy = dsx * hvz - dsz * hvx
-        d_huz = -dsx * hvy + dsy * hvx
-        d_hvx = dsy * huz - dsz * huy
-        d_hvy = -dsx * huz + dsz * hux
-        d_hvz = dsx * huy - dsy * hux
-        # hu = m1 - px*m3 ; hv = m2 - py*m3
-
-        def pxsum(x):
-            return jnp.sum(x, axis=0, keepdims=True)        # [1, C]
-
-        d_color = jax.lax.dot_general(
-            g_c, w, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-        )
-        d_normal = jax.lax.dot_general(
-            g_n, w, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-        )
-        g24 = jnp.concatenate(
-            [
-                pxsum(d_hux), pxsum(d_huy), pxsum(d_huz),
-                pxsum(d_hvx), pxsum(d_hvy), pxsum(d_hvz),
-                pxsum(-pix_x * d_hux - pix_y * d_hvx),
-                pxsum(-pix_x * d_huy - pix_y * d_hvy),
-                pxsum(-pix_x * d_huz - pix_y * d_hvz),
-                pxsum(d_zu_px), pxsum(d_zv_px), pxsum(d_zc_px),
-                pxsum(d_cx_px), pxsum(d_cy_px),
-                d_color, pxsum(d_opa_px), d_normal,
-                jnp.zeros((3, chunk), jnp.float32),
-            ],
-            axis=0,
-        )                                                   # [24, C]
-
-        # pipelined write-out: reuse a slot only once its DMA completed
-        w_slot = ci % 2
-        for k in (0, 1):
-            pend = w0 if k == 0 else w1
-
-            @pl.when((w_slot == k) & (pend > 0.5))
-            def _(k=k):
-                _wait_out(k)
-
-            @pl.when(w_slot == k)
-            def _(k=k):
-                grad_vmem[k] = g24
-                pltpu.make_async_copy(
-                    grad_vmem.at[k], out_grads_ref.at[cbase + ci], sem_out.at[k]
-                ).start()
-
-        is0 = (w_slot == 0).astype(jnp.float32)
-        w0 = jnp.maximum(w0, is0)
-        w1 = jnp.maximum(w1, 1.0 - is0)
-
-        t_run = t_run * jnp.exp(-revlog[:, 0:1])
-        s_run = s_run + revsum_incl[:, 0:1]
-        return ci - 1, t_run, s_run, w0, w1
-
-    def cond(carry):
-        return carry[0] >= 0
-
-    t0 = t_final_row.reshape(p, 1)
-    s0 = jnp.zeros((p, 1), jnp.float32)
-    zf = jnp.float32(0.0)
-    _, _, _, w0, w1 = jax.lax.while_loop(cond, body, (hi - 1, t0, s0, zf, zf))
+    w0 = jnp.maximum(w0, ((cblk >= 0) & (cslot == 0)).astype(jnp.float32))
+    w1 = jnp.maximum(w1, ((cblk >= 0) & (cslot == 1)).astype(jnp.float32))
 
     @pl.when(w0 > 0.5)
     def _():
@@ -488,35 +582,44 @@ def _surfel_train_fwd_call(data, tile_start, tile_count, bg, *, width, height,
     num_tiles = tiles_x * tiles_y
     p = TILE * TILE
     chunk = cfg.pallas_chunk
+    group = GROUP2D_TRAIN
+    n_groups = -(-num_tiles // group)
+    t_pad = n_groups * group
+    pad = t_pad - num_tiles
     bg4 = jnp.concatenate([bg.astype(jnp.float32), jnp.zeros(1, jnp.float32)])
+    tile_start_p = jnp.pad(tile_start, (0, pad))
+    tile_count_p = jnp.pad(tile_count, (0, pad))
 
     def spec(c):
-        return pl.BlockSpec((1, c, p), lambda t, *_: (t, 0, 0),
+        return pl.BlockSpec((group, c, p), lambda t, *_: (t, 0, 0),
                             memory_space=pltpu.VMEM)
 
+    n_slots = group + 3
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(num_tiles,),
+        grid=(n_groups,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[spec(3), spec(1), spec(1), spec(3), spec(1), spec(1),
                    spec(1), spec(1), spec(1), spec(1)],
         scratch_shapes=[
-            pltpu.VMEM((2, SURFEL_ROWS, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_slots, SURFEL_ROWS, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_slots,)),
         ],
     )
-    kernel = functools.partial(_surfel_train_fwd_kernel, tiles_x=tiles_x, chunk=chunk)
+    kernel = functools.partial(_surfel_train_fwd_kernel, tiles_x=tiles_x,
+                               chunk=chunk, group=group)
 
     def sh(c, dt=jnp.float32):
-        return jax.ShapeDtypeStruct((num_tiles, c, p), dt)
+        return jax.ShapeDtypeStruct((t_pad, c, p), dt)
 
-    return pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[sh(3), sh(1), sh(1), sh(3), sh(1), sh(1),
                    sh(1, jnp.int32), sh(1, jnp.int32), sh(1), sh(1)],
         interpret=interpret,
-    )(tile_start, tile_count, bg4, data)
+    )(tile_start_p, tile_count_p, bg4, data)
+    return tuple(o[:num_tiles] for o in outs)
 
 
 @functools.partial(
@@ -532,16 +635,24 @@ def _surfel_bwd_call(
     num_tiles = tiles_x * tiles_y
     p = TILE * TILE
     chunk = cfg.pallas_chunk
+    group = GROUP2D_TRAIN
+    n_groups = -(-num_tiles // group)
+    t_pad = n_groups * group
+    pad = t_pad - num_tiles
     bg4 = jnp.concatenate([bg.astype(jnp.float32), jnp.zeros(1, jnp.float32)])
+    assert k_al % chunk == 0
     zeros_out = jnp.zeros((k_al // chunk, SURFEL_ROWS, chunk), jnp.float32)
 
+    def _pad_t(x):
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+
     def spec(c):
-        return pl.BlockSpec((1, c, p), lambda t, *_: (t, 0, 0),
+        return pl.BlockSpec((group, c, p), lambda t, *_: (t, 0, 0),
                             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(num_tiles,),
+        grid=(n_groups,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # data
             spec(3), spec(1), spec(1), spec(3), spec(1), spec(1),
@@ -550,9 +661,9 @@ def _surfel_bwd_call(
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
+            pltpu.VMEM((group + 2, SURFEL_ROWS, chunk), jnp.float32),
             pltpu.VMEM((2, SURFEL_ROWS, chunk), jnp.float32),
-            pltpu.VMEM((2, SURFEL_ROWS, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((group + 2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -565,7 +676,7 @@ def _surfel_bwd_call(
             ts, tc, bgr, data_ref, gc, ga, gd, gn, gm, gdist,
             ao, nc, nm, wm, wm2, out_ref,
             chunk_vmem, grad_vmem, sem_in, sem_out,
-            tiles_x=tiles_x, chunk=chunk,
+            tiles_x=tiles_x, chunk=chunk, group=group,
         )
 
     (out_grads,) = pl.pallas_call(
@@ -577,9 +688,11 @@ def _surfel_bwd_call(
         input_output_aliases={15: 0},  # zeros input (after 3 prefetch args)
         interpret=interpret,
     )(
-        tile_start, tile_count, bg4,
-        data, g_color_t, g_alpha_t, g_depth_t, g_normal_t, g_median_t,
-        g_dist_t, alpha_t, ncon_t, nmed_t, wm_t, wm2_t, zeros_out,
+        _pad_t(tile_start), _pad_t(tile_count), bg4,
+        data, _pad_t(g_color_t), _pad_t(g_alpha_t), _pad_t(g_depth_t),
+        _pad_t(g_normal_t), _pad_t(g_median_t), _pad_t(g_dist_t),
+        _pad_t(alpha_t), _pad_t(ncon_t), _pad_t(nmed_t), _pad_t(wm_t),
+        _pad_t(wm2_t), zeros_out,
     )
     return out_grads
 
@@ -593,7 +706,7 @@ def _make_surfel_composite(width: int, height: int, cfg: RasterConfig,
     tiles_x, tiles_y = grid_dims(width, height)
     num_tiles = tiles_x * tiles_y
     chunk = cfg.pallas_chunk
-    k_al = cfg.stream_cap + num_tiles * chunk
+    k_al = aligned_cap(num_tiles, cfg, GROUP2D_TRAIN)
 
     def _build_stream(table, g_pad):
         key_rows = gather_rows_u16(table, g_pad)  # [K_al, 22]
@@ -685,7 +798,7 @@ def rasterize_surfel_pallas(
     # cull=False: the ellipse-tile cull needs a 3DGS conic; surfel prep
     # carries none (the adapter zeroes it, making the test a no-op anyway)
     g_pad, g_drop, aligned_start, tile_count, dropped, order = _aligned_routing(
-        prep_sg, w, h, cfg, cull=False
+        prep_sg, w, h, cfg, cull=False, group=GROUP2D_TRAIN, interpret=interpret
     )
 
     n = means3d.shape[0]

@@ -114,8 +114,10 @@ class TestPallasSurfel:
             cfg=CFG, interpret=True,
         )
         for name in ["color", "alpha", "depth_accum", "normal", "depth_median", "distortion"]:
+            # 2e-5: bf16x2 scan contractions (SCAN_BF16X2) round the scan
+            # inputs to 16 mantissa bits (~1e-5 noise on w*z sums)
             np.testing.assert_allclose(
-                getattr(b, name), getattr(a, name), atol=3e-6, err_msg=name
+                getattr(b, name), getattr(a, name), atol=2e-5, err_msg=name
             )
         np.testing.assert_array_equal(a.radii, b.radii)
 
@@ -214,7 +216,7 @@ class TestPallasSurfelTrain:
         for name in ["color", "alpha", "depth_accum", "normal", "depth_median",
                      "distortion"]:
             np.testing.assert_allclose(
-                getattr(b, name), getattr(a, name), atol=5e-6, err_msg=name
+                getattr(b, name), getattr(a, name), atol=2e-5, err_msg=name
             )
         np.testing.assert_array_equal(a.radii, b.radii)
 

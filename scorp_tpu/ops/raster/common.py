@@ -534,7 +534,50 @@ def _tile_bounds(sorted_tile: jnp.ndarray, num_tiles: int):
     return bounds[:-1], bounds[1:] - bounds[:-1]
 
 
-def bin_stream(prep: Preprocessed, width: int, height: int, cfg: RasterConfig) -> StreamBins:
+def sorted_expansion(
+    prep: Preprocessed,
+    width: int,
+    height: int,
+    k_cap: int,
+    cull: bool,
+    interpret: bool = False,
+):
+    """Expansion + stable tile sort -> (sorted_tile, g_sorted [K], order,
+    total, kept). Uses the Pallas expansion kernel (pallas_expand) when the
+    packed sort key fits and a TPU (or interpret mode) is available; the
+    XLA scatter+cumsum expansion otherwise.
+    """
+    import jax as _jax
+
+    from . import pallas_expand as pe
+
+    tiles_x, tiles_y = grid_dims(width, height)
+    num_tiles = tiles_x * tiles_y
+    n = prep.xy.shape[0]
+    ok, bits_g = pe.packable(n, num_tiles)
+    use_kernel = (
+        pe.PALLAS_EXPAND
+        and ok
+        and k_cap % 128 == 0
+        and (interpret or _jax.default_backend() not in ("cpu",))
+    )
+    if use_kernel:
+        packed, order, total, kept, bits_g = pe.expand_sorted_keys(
+            prep, width, height, k_cap, cull=cull, interpret=interpret
+        )
+        s = jax.lax.sort(packed, is_stable=False)
+        return s >> bits_g, s & ((1 << bits_g) - 1), order, total, kept
+    tile, g_of_k, order, total, _, _, _, kept = _expand_keys_core(
+        prep, width, height, k_cap, cull=cull
+    )
+    sorted_tile, g_sorted = _tile_sort(tile, g_of_k, num_tiles, n)
+    return sorted_tile, g_sorted, order, total, kept
+
+
+def bin_stream(
+    prep: Preprocessed, width: int, height: int, cfg: RasterConfig,
+    interpret: bool = False,
+) -> StreamBins:
     """Stream binning for the Pallas compositor.
 
     The expensive per-key data movement is ONE row gather: the stable tile
@@ -548,8 +591,8 @@ def bin_stream(prep: Preprocessed, width: int, height: int, cfg: RasterConfig) -
     k_cap = cfg.max_keys
     k2 = cfg.stream_cap
 
-    tile, g_of_k, order, total, ktx, kty, _, kept = _expand_keys_core(
-        prep, width, height, k_cap, cull=True
+    sorted_tile, g_sorted, order, total, kept = sorted_expansion(
+        prep, width, height, k_cap, cull=True, interpret=interpret
     )
 
     # depth-ordered per-gaussian table [N, 11]: 10 data columns + source id
@@ -574,7 +617,6 @@ def bin_stream(prep: Preprocessed, width: int, height: int, cfg: RasterConfig) -
     # culled + out-of-range keys carry the num_tiles sentinel, so the stable
     # tile sort moves them past every live key: slicing the sorted stream to
     # the (smaller) post-cull capacity is the compaction, for free
-    sorted_tile, g_sorted = _tile_sort(tile, g_of_k, num_tiles, n)
     sorted_tile = sorted_tile[:k2]
     g_sorted = g_sorted[:k2]
     key_rows = fast_gather_rows(table, g_sorted)  # [K2, 11] the one big gather

@@ -33,13 +33,12 @@ from .common import (
     DATA_ROWS,
     DATA_ROWS_PADDED,
     RasterConfig,
-    _expand_keys_core,
     _tile_bounds,
-    _tile_sort,
     fast_gather_rows,
     gather_rows_u16,
     grid_dims,
     preprocess,
+    sorted_expansion,
 )
 from .pallas_bwd import backward_kernel_call
 from .pallas_fwd import GROUP, _composite_kernel_call, tiles_cp_to_image
@@ -148,7 +147,7 @@ def aligned_cap(num_tiles: int, cfg: RasterConfig, group: int) -> int:
 
 
 def _aligned_routing(prep_sg, width, height, cfg, cull: bool = True,
-                     group: int = 1):
+                     group: int = 1, interpret: bool = False):
     """Integer routing for the aligned training stream.
 
     Alignment is at GROUP granularity: each group of `group` consecutive
@@ -173,11 +172,8 @@ def _aligned_routing(prep_sg, width, height, cfg, cull: bool = True,
     k2 = cfg.stream_cap
     k_al = aligned_cap(num_tiles, cfg, group)
 
-    tile, g_of_k, order, total, _, _, _, kept = _expand_keys_core(
-        prep_sg, width, height, k, cull=cull
-    )
-    sorted_tile, g_sorted = _tile_sort(
-        tile, g_of_k, num_tiles, prep_sg.xy.shape[0]
+    sorted_tile, g_sorted, order, total, kept = sorted_expansion(
+        prep_sg, width, height, k, cull=cull, interpret=interpret
     )
     # culled/out-of-range keys sorted past the end; the slice compacts
     sorted_tile = sorted_tile[:k2]
@@ -252,7 +248,7 @@ def rasterize_pallas(
     # integer routing (no gradients)
     prep_sg = jax.lax.stop_gradient(prep)
     g_pad, g_drop, aligned_start, tile_count, dropped, order = _aligned_routing(
-        prep_sg, w, h, cfg, group=GROUP
+        prep_sg, w, h, cfg, group=GROUP, interpret=interpret
     )
 
     # differentiable payload table, depth-ordered (VJP: N-sized scatter-add)

@@ -57,6 +57,7 @@ from .pallas_fwd import (
     _mm,
     _pixel_basis,
     _power_coefs,
+    _scan_mm,
 )
 
 ALPHA_MIN = 1.0 / 255.0
@@ -82,14 +83,10 @@ def _rev_scan_lanes(x: jnp.ndarray, chunk: int, op, fill: float) -> jnp.ndarray:
 
 
 def _rev_cumsum_mxu(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
-    """Suffix-inclusive sum along lanes as one MXU contraction (exact f32;
-    ~2x cheaper than the log2(C)-step Hillis-Steele on the VPU)."""
-    return jax.lax.dot_general(
-        x, tri,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    """Suffix-inclusive sum along lanes as one MXU contraction (~2x cheaper
+    than the log2(C)-step Hillis-Steele on the VPU; precision strategy
+    shared with the other scan contractions via _scan_mm)."""
+    return _scan_mm(x, tri)
 
 
 def _suffix_tri(chunk: int) -> jnp.ndarray:
@@ -251,7 +248,7 @@ def _bwd_kernel(
 
             # T_before_i = T_run / prod_{j>=i} om_j, in log space: one
             # triangular MXU contraction + exp (each |log om| <= 4.6)
-            revlog = _mm(jnp.log(om), tri, ((1,), (0,)), SCAN_PREC)     # [p, C]
+            revlog = _scan_mm(jnp.log(om), tri)     # [p, C]
             t_before = t_run * jnp.exp(-revlog)
             w = jnp.where(include, alpha_eff * t_before, 0.0)
 
@@ -260,7 +257,7 @@ def _bwd_kernel(
             u = u + g_d_col * depth
 
             wu = w * u
-            revsum_incl = _mm(wu, tri, ((1,), (0,)), SCAN_PREC)
+            revsum_incl = _scan_mm(wu, tri)
             s_i = s_run + revsum_incl - wu                             # suffix j>i
 
             one_minus = jnp.where(amask, 1.0 - alpha_eff, 1.0)

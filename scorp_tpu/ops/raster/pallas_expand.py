@@ -1,0 +1,335 @@
+"""Pallas TPU key-expansion kernel.
+
+Replaces the XLA expansion pipeline of `common._expand_keys_core` (a
+fixed-capacity scatter of per-gaussian integer differences + six [col, K]
+lane cumsums + per-key unpack/cull arithmetic, ~8 ms at 1.75M keys on v5e)
+with one kernel that maps key slots directly to their source gaussians:
+
+  * gaussians arrive depth-sorted with `starts` = exclusive prefix sums of
+    their tile-rect areas (both computed in XLA: one argsort + one cumsum
+    over N);
+  * a key block [b*128, (b+1)*128) can only touch gaussians
+    [g_lo[b], g_lo[b]+128] (one gaussian per key, consecutive), so a
+    256-gaussian window starting at the 128-aligned floor of g_lo[b]
+    always covers it — the window is DMA'd from a [16, N_pad] column
+    table (Mosaic-legal: 128-aligned lane offsets);
+  * the key->gaussian map inside the block is a [256, 128] monotone
+    compare matrix; its sublane difference is the one-hot selector, and
+    ONE [16,256]x[256,128] HIGHEST matmul (exact for f32: 0/1 one-hot)
+    gathers every per-gaussian attribute — including its depth rank,
+    carried as a plain iota column;
+  * the exact alpha>=1/255 ellipse-vs-tile cull runs in f32 (the XLA path
+    had to pack the conic to bf16 to ride its integer cumsums; here the
+    tolerance shrinks from 1%+0.9 to f32 rounding, so strictly more
+    non-contributing keys are culled — outputs and gradients unchanged,
+    see common._expand_keys_core's invariance argument);
+  * output: per-key PACKED sort key (tile << bits_g) | depth_rank, the
+    exact single-operand form `common._tile_sort` sorts — culled and
+    out-of-range keys carry the num_tiles sentinel tile and sort past
+    every live key.
+
+Used by the TPU Pallas rasterizer paths (bin_stream / _aligned_routing);
+the XLA expansion remains the golden path and the fallback when the
+packed key does not fit 31 bits.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import TILE, Preprocessed, grid_dims
+
+EXPAND_COLS = 16   # table columns (12 used + pad to sublane multiple)
+WINDOW = 256       # gaussians per block window (>= 128-aligned floor + 129)
+BLOCKS_PER_PROG = 16
+PALLAS_EXPAND = True  # master switch (XLA core path when off)
+
+
+def packable(n: int, num_tiles: int) -> tuple[bool, int]:
+    bits_g = max(1, int(n - 1).bit_length())
+    return ((num_tiles + 1) << bits_g) <= (1 << 31) - 1, bits_g
+
+
+def _expand_kernel(
+    g_lo_ref,          # [n_blocks_pad] i32 scalar prefetch
+    table_ref,         # [16, N_pad] f32 ANY (starts bitcast i32 in row 0)
+    out_ref,           # [BPP, 128] i32 VMEM block
+    win_vmem,          # [2, 16, WINDOW] f32
+    sem,               # [2]
+    *,
+    tiles_x: int,
+    num_tiles: int,
+    bits_g: int,
+    cull: bool,
+    blocks: int,       # blocks handled by this program
+    n_blocks: int,     # total live blocks (rest of the grid writes sentinel)
+):
+    pid = pl.program_id(0)
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def _win_base(b):
+        return (g_lo_ref[b] // 128) * 128
+
+    def _copy(b, slot):
+        base = pl.multiple_of(_win_base(b), 128)
+        return pltpu.make_async_copy(
+            table_ref.at[:, pl.ds(base, WINDOW)], win_vmem.at[slot], sem.at[slot]
+        )
+
+    b0 = pid * blocks
+
+    # Upfront prefetch of the program's first window — pid 0 ONLY. Every
+    # later program's block-0 copy is started by the PREVIOUS program's
+    # last loop iteration (guard b+1 < n_blocks ≡ this wait's b < n_blocks,
+    # slot (blocks % 2) == 0 since blocks is even). Starting it here too
+    # would enqueue the same DMA twice against one wait, leaving the
+    # semaphore non-zero at kernel exit -> TPU abort (interpret mode does
+    # not check semaphore drainage, so only the device catches it).
+    @pl.when((pid == 0) & (b0 < n_blocks))
+    def _():
+        _copy(b0, 0).start()
+
+    for i in range(blocks):
+        b = b0 + i
+
+        @pl.when(b + 1 < n_blocks)
+        def _(b=b, i=i):
+            _copy(b + 1, (i + 1) % 2).start()
+
+        @pl.when(b < n_blocks)
+        def _(b=b, i=i):
+            _copy(b, i % 2).wait()
+            win = win_vmem.at[i % 2]
+            kpos = b * 128 + lane128                         # [1, 128]
+
+            # one-hot selector: gaussian g owns key iff
+            # starts[g] <= kpos < starts[g+1]. Built transpose-free: keys
+            # along sublanes ([128, 1] iota), window starts along lanes
+            # (the native [1, W] row), so the compare broadcasts to
+            # [128, W] with no relayout.
+            kpos_col = b * 128 + jax.lax.broadcasted_iota(
+                jnp.int32, (128, 1), 0
+            )
+            starts_row = jax.lax.bitcast_convert_type(win[0:1, :], jnp.int32)
+            next_row = jax.lax.bitcast_convert_type(win[12:13, :], jnp.int32)
+            le = (starts_row <= kpos_col).astype(jnp.float32)       # [128, W]
+            le_next = (next_row <= kpos_col).astype(jnp.float32)
+            one_hot = le - le_next                                  # 0/1
+
+            # gather all 16 attribute columns (exact f32 one-hot matmul,
+            # contracting both operands' lane dims)
+            attrs = jax.lax.dot_general(
+                win[...], one_hot,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                                 # [16, 128]
+
+            start_g = jnp.round(attrs[1:2, :]).astype(jnp.int32)
+            count = jnp.round(attrs[2:3, :]).astype(jnp.int32)
+            x0 = jnp.round(attrs[3:4, :]).astype(jnp.int32)
+            y0 = jnp.round(attrs[4:5, :]).astype(jnp.int32)
+            span = jnp.maximum(jnp.round(attrs[5:6, :]).astype(jnp.int32), 1)
+            rank = jnp.round(attrs[15:16, :]).astype(jnp.int32)
+
+            local = kpos - start_g                            # [1, 128]
+            # i32 div via f32 reciprocal + one exact correction step (the
+            # f32 quotient of ints < 2^20 is off by at most 1)
+            qy = jnp.floor(
+                local.astype(jnp.float32) / span.astype(jnp.float32)
+            ).astype(jnp.int32)
+            qx = local - qy * span
+            over = qx >= span
+            qy = qy + over.astype(jnp.int32)
+            qx = qx - jnp.where(over, span, 0)
+            under = qx < 0
+            qy = qy - under.astype(jnp.int32)
+            qx = qx + jnp.where(under, span, 0)
+            ktx = x0 + qx
+            kty = y0 + qy
+            tile = kty * tiles_x + ktx
+            live = (local >= 0) & (local < count)
+
+            if cull:
+                gx = attrs[6:7, :]
+                gy = attrs[7:8, :]
+                ca = attrs[8:9, :]
+                cb = attrs[9:10, :]
+                cc = attrs[10:11, :]
+                t2 = attrs[11:12, :]
+                fx = ((ktx - x0) * TILE).astype(jnp.float32)
+                fy = ((kty - y0) * TILE).astype(jnp.float32)
+                dxlo, dxhi = fx - gx, fx + (TILE - 1) - gx
+                dylo, dyhi = fy - gy, fy + (TILE - 1) - gy
+                inside = (dxlo <= 0.0) & (0.0 <= dxhi) & (dylo <= 0.0) & (0.0 <= dyhi)
+                sa = jnp.maximum(ca, 1e-12)
+                sc = jnp.maximum(cc, 1e-12)
+
+                def q_edge_x(e):
+                    dy = jnp.clip(-cb * e / sc, dylo, dyhi)
+                    cross = cb * e * dy
+                    q = ca * e * e + 2.0 * cross + cc * dy * dy
+                    qa = sa * e * e + 2.0 * jnp.abs(cross) + sc * dy * dy
+                    return q, qa
+
+                def q_edge_y(f):
+                    dx = jnp.clip(-cb * f / sa, dxlo, dxhi)
+                    cross = cb * f * dx
+                    q = cc * f * f + 2.0 * cross + ca * dx * dx
+                    qa = sc * f * f + 2.0 * jnp.abs(cross) + sa * dx * dx
+                    return q, qa
+
+                def _min_pair(p1, p2):
+                    q1, a1 = p1
+                    q2, a2 = p2
+                    take1 = q1 <= q2
+                    return jnp.where(take1, q1, q2), jnp.where(take1, a1, a2)
+
+                q_min, qabs = _min_pair(
+                    _min_pair(q_edge_x(dxlo), q_edge_x(dxhi)),
+                    _min_pair(q_edge_y(dylo), q_edge_y(dyhi)),
+                )
+                q_min = jnp.where(inside, 0.0, q_min)
+                qabs = jnp.where(inside, 0.0, qabs)
+                pd = (ca > 0.0) & (cc > 0.0) & (ca * cc - cb * cb > 0.0)
+                # f32 tolerance: the compositor evaluates the same form in
+                # f32 with different association — a few ulps of qabs
+                keep = ~pd | (q_min <= t2 + 1e-5 * qabs + 1e-3)
+                live = live & keep
+
+            packed = jnp.where(
+                live, (tile << bits_g) | rank, (num_tiles << bits_g) | 1
+            )
+            out_ref[i, :] = packed.reshape(1, 128)[0, :]
+
+        @pl.when(b >= n_blocks)
+        def _(i=i):
+            out_ref[i, :] = jnp.full(
+                (1, 128), (num_tiles << bits_g) | 1, jnp.int32
+            )[0, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "k_cap", "cull", "interpret"),
+)
+def expand_sorted_keys(
+    prep: Preprocessed,
+    width: int,
+    height: int,
+    k_cap: int,
+    cull: bool = True,
+    interpret: bool = False,
+):
+    """Depth-sort + expand + cull + pack, returning the UNSORTED packed key
+    array [k_cap] plus (order [N], total, kept, bits_g). Callers sort it
+    with one lax.sort; tile = key >> bits_g, depth-rank = key & mask.
+    """
+    tiles_x, tiles_y = grid_dims(width, height)
+    num_tiles = tiles_x * tiles_y
+    n = prep.xy.shape[0]
+    ok, bits_g = packable(n, num_tiles)
+    assert ok, "packed sort key exceeds 31 bits — use the XLA expansion"
+    assert k_cap % 128 == 0
+    assert BLOCKS_PER_PROG % 2 == 0  # cross-program prefetch slot parity
+
+    order = jnp.argsort(jnp.where(prep.valid, prep.depth, jnp.inf), stable=True)
+    rect = prep.rect.astype(jnp.uint16)[order].astype(jnp.int32)
+    x0, y0, x1, y1 = rect[:, 0], rect[:, 1], rect[:, 2], rect[:, 3]
+    span = x1 - x0
+    counts = span * (y1 - y0)
+    starts = jnp.cumsum(counts) - counts
+    total = starts[-1] + counts[-1]
+
+    if cull:
+        from .common import gather_rows_u16
+
+        geo = gather_rows_u16(
+            jax.lax.stop_gradient(
+                jnp.concatenate(
+                    [prep.xy, prep.conic, prep.opacity[:, None]], axis=1
+                )
+            ),
+            order,
+        )
+        gx_rel = geo[:, 0] - x0.astype(jnp.float32) * TILE
+        gy_rel = geo[:, 1] - y0.astype(jnp.float32) * TILE
+        t2 = jnp.maximum(
+            2.0 * jnp.log(jnp.maximum(geo[:, 5], 1e-12) * 255.0), 0.0
+        )
+        cull_cols = [gx_rel, gy_rel, geo[:, 2], geo[:, 3], geo[:, 4], t2]
+    else:
+        zeros = jnp.zeros(n, jnp.float32)
+        cull_cols = [zeros] * 6
+
+    f = lambda v: v.astype(jnp.float32)  # noqa: E731
+    iota = jnp.arange(n, dtype=jnp.float32)
+    zeros = jnp.zeros(n, jnp.float32)
+    starts_next = jnp.concatenate(
+        [starts[1:], jnp.full(1, 1 << 30, jnp.int32)]
+    )
+    cols = [
+        jax.lax.bitcast_convert_type(starts, jnp.float32),   # 0 (i32 bits)
+        f(starts), f(counts), f(x0), f(y0), f(span),          # 1-5
+        *cull_cols,                                           # 6-11
+        jax.lax.bitcast_convert_type(starts_next, jnp.float32),  # 12
+        zeros, zeros,                                         # 13-14 pad
+        iota,                                                 # 15 depth rank
+    ]
+    table = jnp.stack(cols, axis=0)                           # [16, N]
+    # pad: window reads up to N_pad lanes; pad starts with a huge value so
+    # no key maps into the pad
+    pad = (-n) % 128 + WINDOW
+    big = jnp.full(pad, (1 << 30), jnp.int32)
+    pad_cols = jnp.zeros((EXPAND_COLS, pad), jnp.float32)
+    pad_cols = pad_cols.at[0].set(jax.lax.bitcast_convert_type(big, jnp.float32))
+    pad_cols = pad_cols.at[1].set(big.astype(jnp.float32))
+    # starts_next of pad rows must also be "infinite" (le - le_next must be
+    # 0, not -1, on pad rows)
+    pad_cols = pad_cols.at[12].set(jax.lax.bitcast_convert_type(big, jnp.float32))
+    table = jnp.concatenate([table, pad_cols], axis=1)        # [16, N_pad]
+
+    n_blocks = k_cap // 128
+    bpp = BLOCKS_PER_PROG
+    n_progs = -(-n_blocks // bpp)
+    blocks_pad = n_progs * bpp
+    g_lo = (
+        jnp.searchsorted(
+            starts, jnp.arange(n_blocks, dtype=jnp.int32) * 128, side="right"
+        ).astype(jnp.int32)
+        - 1
+    )
+    g_lo = jnp.clip(g_lo, 0, n - 1)
+    g_lo = jnp.pad(g_lo, (0, blocks_pad - n_blocks))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_progs,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((bpp, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, EXPAND_COLS, WINDOW), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _expand_kernel, tiles_x=tiles_x, num_tiles=num_tiles, bits_g=bits_g,
+        cull=cull, blocks=bpp, n_blocks=n_blocks,
+    )
+    (packed,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((blocks_pad, 128), jnp.int32)],
+        interpret=interpret,
+    )(g_lo, table)
+    packed = packed.reshape(blocks_pad * 128)[:k_cap]
+    sentinel = (num_tiles << bits_g) | 1
+    kept = jnp.sum((packed != sentinel).astype(jnp.int32))
+    return packed, order, total, kept, bits_g

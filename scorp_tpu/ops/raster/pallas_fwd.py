@@ -137,6 +137,32 @@ def _mm(a, b, contract, precision=jax.lax.Precision.HIGHEST):
 # HIGH raises NotImplementedError at compile time (interpret mode hides it).
 SCAN_PREC = jax.lax.Precision.HIGHEST
 
+# Manual bf16x2 split for the triangular scan contractions: the triangular
+# matrix is 0/1 (exact in bf16) and x splits into two bf16 components
+# covering 16 mantissa bits, so x@tri runs as TWO single-pass bf16 matmuls
+# (f32 accumulate) instead of HIGHEST's six — input rounding ~2^-17
+# relative, well under the alpha-threshold tie noise the parity budget
+# already absorbs. Flag measured on-device; interpret-mode tests run both.
+SCAN_BF16X2 = True
+
+
+def _scan_mm(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
+    """Triangular scan contraction x @ tri with the configured strategy."""
+    if not SCAN_BF16X2:
+        return _mm(x, tri, ((1,), (0,)), SCAN_PREC)
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    tri_b = tri.astype(jnp.bfloat16)
+
+    def bmm(a):
+        return jax.lax.dot_general(
+            a, tri_b,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return bmm(hi) + bmm(lo)
+
 
 def _fwd_kernel(
     # scalar prefetch
@@ -243,7 +269,7 @@ def _fwd_kernel(
             # space: one triangular MXU contraction instead of a lane scan
             if MXU_SCAN:
                 logx = jnp.log(1.0 - alpha)                   # [p, C] <= 0
-                cum_excl = jnp.exp(_mm(logx, ltri, ((1,), (0,)), SCAN_PREC))
+                cum_excl = jnp.exp(_scan_mm(logx, ltri))
             else:
                 cum_excl = _cumprod_excl_lanes(1.0 - alpha, chunk)
             t_before = t_carry * cum_excl
@@ -429,7 +455,7 @@ def rasterize_pallas_fwd_only(
         scales=scales, quats=quats, cov3d_precomp=cov3d_precomp,
         scale_modifier=scale_modifier, screen_deltas=screen_deltas, alive=alive,
     )
-    bins = bin_stream(prep, w, h, cfg)
+    bins = bin_stream(prep, w, h, cfg, interpret=interpret)
     color_t, depth_t, alpha_t, _ = composite_stream_pallas(
         bins, bg, w, h, cfg, interpret=interpret, track_ncontrib=False
     )

@@ -21,7 +21,8 @@ import scorp_tpu.ops.raster.pallas_fwd as pf
 MODE = sys.argv[1] if len(sys.argv) > 1 else "render"
 
 xyz, shs, scales, quats, opacity, cam = build_scene()
-cfg = RasterConfig(max_keys=1 << 21, tile_list_len=4096, chunk=64,
+cfg = RasterConfig(max_keys=(1 << 20) + (1 << 19) + (1 << 18),
+                   tile_list_len=4096, chunk=64,
                    pallas_chunk=128, stream_keys=(1 << 20) + (1 << 19))
 w, h = cam.width, cam.height
 bg = jnp.zeros(3, jnp.float32)
@@ -94,8 +95,12 @@ for e in trace.get("traceEvents", []):
     # keep XLA op events (device lanes)
     args_d = e.get("args") or {}
     if "long_name" in args_d or "tf_op" in args_d or name.startswith("%"):
-        events[name] = events.get(name, 0.0) + e["dur"]
+        key = name
+        events.setdefault(key, [0.0, ""])
+        events[key][0] += e["dur"]
+        if not events[key][1]:
+            events[key][1] = str(args_d.get("long_name", ""))[:160]
 # top 25 by time (dur in us, 3 steps)
-top = sorted(events.items(), key=lambda kv: -kv[1])[:25]
-for name, us in top:
-    print(f"{us / 3 / 1e3:8.3f} ms  {name[:110]}")
+top = sorted(events.items(), key=lambda kv: -kv[1][0])[:25]
+for name, (us, long_name) in top:
+    print(f"{us / 3 / 1e3:8.3f} ms  {name[:60]}  {long_name}")

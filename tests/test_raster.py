@@ -411,6 +411,80 @@ class TestAlignedRouting:
         assert len(gp) == aligned_cap(12, cfg, group)
 
 
+class TestPallasExpand:
+    """The Pallas expansion kernel must reproduce the XLA expansion's
+    sorted (tile, depth-rank) stream exactly (cull=False), and with
+    cull=True may only drop ADDITIONAL keys that are non-contributing
+    (its f32 cull is tighter than the XLA path's bf16-packed one)."""
+
+    def _xla_keys(self, prep, w, h, k_cap, cull):
+        from scorp_tpu.ops.raster.common import _expand_keys_core
+
+        tile, g_of_k, order, total, ktx, kty, in_range, kept = jax.jit(
+            lambda p: _expand_keys_core(p, w, h, k_cap, cull=cull)
+        )(prep)
+        t = np.asarray(tile)
+        g = np.maximum(np.asarray(g_of_k), 0)
+        r = np.asarray(in_range)
+        return set(zip(t[r].tolist(), g[r].tolist())), order, ktx, kty, g_of_k, r
+
+    def _kernel_keys(self, prep, w, h, k_cap, cull):
+        from scorp_tpu.ops.raster.common import grid_dims
+        from scorp_tpu.ops.raster.pallas_expand import expand_sorted_keys
+
+        packed, order, total, kept, bits_g = jax.jit(
+            lambda p: expand_sorted_keys(p, w, h, k_cap, cull=cull,
+                                         interpret=True)
+        )(prep)
+        tiles_x, tiles_y = grid_dims(w, h)
+        pk = np.asarray(packed)
+        live = (pk >> bits_g) < tiles_x * tiles_y
+        t = (pk[live] >> bits_g).tolist()
+        g = (pk[live] & ((1 << bits_g) - 1)).tolist()
+        assert int(kept) == live.sum()
+        return set(zip(t, g)), order
+
+    def test_matches_xla_no_cull(self):
+        from scorp_tpu.ops.raster.common import preprocess
+
+        xyz, scales, quats, opa, shs = make_scene(n=150, seed=2)
+        prep = preprocess(xyz, opa, CAM, shs=shs, sh_degree=1,
+                          scales=scales, quats=quats)
+        k_cap = 1 << 14
+        keys_x, order_x, *_ = self._xla_keys(prep, 64, 48, k_cap, cull=False)
+        keys_k, order_k = self._kernel_keys(prep, 64, 48, k_cap, cull=False)
+        np.testing.assert_array_equal(order_x, order_k)
+        assert keys_x == keys_k
+
+    def test_cull_subset_and_output_invariant(self):
+        from scorp_tpu.ops.raster.common import preprocess
+
+        xyz, scales, quats, opa, shs = make_scene(n=96, seed=21, scale=0.15,
+                                                  opacity_logit=-0.5)
+        prep = preprocess(xyz, opa, CAM, shs=shs, sh_degree=1,
+                          scales=scales, quats=quats)
+        k_cap = 1 << 14
+        keys_x, order, ktx, kty, g_of_k, r = self._xla_keys(
+            prep, 64, 48, k_cap, cull=True)
+        keys_k, _ = self._kernel_keys(prep, 64, 48, k_cap, cull=True)
+        assert keys_k <= keys_x
+        extra = keys_x - keys_k
+        if extra:
+            # every additionally-culled key is non-contributing
+            cull_test = TestEllipseTileCull()
+            t = np.asarray(ktx) + 0  # map (tile,g) back via brute force
+            tiles_x = 4
+            mask = np.zeros(len(np.asarray(g_of_k)), bool)
+            tile_arr = np.asarray(kty) * tiles_x + np.asarray(ktx)
+            g_arr = np.maximum(np.asarray(g_of_k), 0)
+            for k in range(len(mask)):
+                if r[k] and (int(tile_arr[k]), int(g_arr[k])) in extra:
+                    mask[k] = True
+            amax = cull_test._max_tile_alpha_vec(
+                prep, np.asarray(ktx), np.asarray(kty), g_arr, order, mask)
+            assert amax.max(initial=0.0) < 1.0 / 255.0
+
+
 class TestTileSort:
     def test_packed_equals_two_column(self):
         from scorp_tpu.ops.raster.common import _tile_sort

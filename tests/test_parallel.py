@@ -77,6 +77,53 @@ class TestDpTrainStep:
             s1.xyz_grad_accum, s2.xyz_grad_accum, atol=1e-6
         )
 
+    def test_sharded_2d_step_runs_and_matches_unsharded(self):
+        from scorp_tpu.parallel import dp_train_step_2d
+        from scorp_tpu.train.step2d import Opt2DParams
+
+        b = 8
+        mesh = make_mesh(b)
+        rng = np.random.default_rng(3)
+        n = 48
+        g = GaussianData(
+            xyz=rng.uniform(-1, 1, size=(n, 3)).astype(np.float32),
+            f_dc=rgb_to_sh(rng.uniform(0.2, 0.8, (n, 3))).reshape(n, 1, 3).astype(np.float32),
+            f_rest=np.zeros((n, 15, 3), np.float32),
+            opacity=np.full((n, 1), 1.2, np.float32),
+            scaling=np.full((n, 2), np.log(0.14), np.float32),
+            rotation=rng.normal(size=(n, 4)).astype(np.float32),
+        )
+        state = from_gaussian_data(g, capacity=64)
+        adam = init_adam(state)
+        cams = make_cams(b)
+        gt = jnp.asarray(rng.uniform(0, 1, (b, 3, H, W)).astype(np.float32))
+        bg = jnp.zeros(3, jnp.float32)
+        batch = stack_cameras(cams)
+        opt = Opt2DParams(lambda_dist=10.0)
+        it = jnp.int32(8000)  # normal + distortion losses active
+
+        s1, a1, m1 = dp_train_step_2d(
+            state, adam, batch, gt, it, bg,
+            opt=opt, sh_degree=0, cfg=CFG, width=W, height=H,
+        )
+
+        state_r = replicate(state, mesh)
+        adam_r = replicate(init_adam(state), mesh)
+        batch_r = shard_batch(batch, mesh)
+        gt_r = shard_batch(gt, mesh)
+        with mesh:
+            s2, a2, m2 = dp_train_step_2d(
+                state_r, adam_r, batch_r, gt_r, it, bg,
+                opt=opt, sh_degree=0, cfg=CFG, width=W, height=H,
+            )
+        assert np.isfinite(float(m2["loss"]))
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(s1.params["xyz"], s2.params["xyz"], atol=1e-6)
+        np.testing.assert_allclose(s1.xyz_grad_accum, s2.xyz_grad_accum, atol=1e-6)
+        # 2-axis scaling actually trained
+        assert s2.params["scaling"].shape[1] == 2
+        assert float(jnp.abs(s2.params["scaling"] - state.params["scaling"]).max()) > 0
+
     def test_densify_stats_match_sequential_reference(self):
         """B-camera DP stats == sum of B single-camera reference stats."""
         b = 2

@@ -135,6 +135,139 @@ def bench_train_step(xyz, shs, scales, quats, opacity, cam, cfg):
     }))
 
 
+def bench_render2d(xyz, shs, scales, quats, opacity, cam, cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from scorp_tpu.ops.raster.pallas_surfel import rasterize_surfel_pallas_fwd_only
+
+    bg = jnp.zeros(3, jnp.float32)
+    s2 = scales[:, :2]
+
+    @jax.jit
+    def frame(xyz, shs, s2, quats, opacity):
+        out = rasterize_surfel_pallas_fwd_only(
+            xyz, opacity, cam, bg, shs=shs, sh_degree=3,
+            scales=s2, quats=quats, cfg=cfg,
+        )
+        return out.color, out.num_dropped_keys
+
+    color, dk = frame(xyz, shs, s2, quats, opacity)
+    color.block_until_ready()
+    assert int(dk) == 0, int(dk)
+    n_frames = 20
+    t0 = time.perf_counter()
+    for _ in range(n_frames):
+        color, _ = frame(xyz, shs, s2, quats, opacity)
+    color.block_until_ready()
+    fps = n_frames / (time.perf_counter() - t0)
+    print(json.dumps({
+        "metric": "render2d_fps_250k_1600x1066",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 100.0, 3),
+    }))
+
+
+def bench_train2d_step(xyz, shs, scales, quats, opacity, cam, cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from scorp_tpu.core.plyio import GaussianData
+    from scorp_tpu.train import from_gaussian_data, init_adam
+    from scorp_tpu.train.step2d import Opt2DParams, train_step_2d
+
+    n = xyz.shape[0]
+    g = GaussianData(
+        xyz=np.asarray(xyz),
+        f_dc=np.asarray(shs[:, :1]),
+        f_rest=np.asarray(shs[:, 1:]),
+        opacity=np.log(np.asarray(opacity) / (1 - np.asarray(opacity)))[:, None],
+        scaling=np.log(np.asarray(scales[:, :2])),
+        rotation=np.asarray(quats),
+    )
+    state = from_gaussian_data(g, capacity=n)
+    adam = init_adam(state)
+    rng = np.random.default_rng(1)
+    gt = jnp.asarray(rng.uniform(0, 1, (3, cam.height, cam.width)).astype(np.float32))
+    zeros1 = jnp.zeros((1, cam.height, cam.width), jnp.float32)
+    bg = jnp.zeros(3, jnp.float32)
+    opt = Opt2DParams(lambda_dist=100.0)  # exercise the distortion VJP
+
+    def step(state, adam, it):
+        return train_step_2d(
+            state, adam, cam, gt, zeros1, zeros1, it, bg,
+            opt=opt, sh_degree=3, cfg=cfg,
+        )
+
+    it = jnp.int32(8000)  # normal+dist losses active
+    state, adam, metrics = step(state, adam, it)
+    jax.block_until_ready(metrics)
+    assert int(metrics.num_dropped_keys) == 0, int(metrics.num_dropped_keys)
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, adam, metrics = step(state, adam, it)
+    jax.block_until_ready(metrics)
+    ms = (time.perf_counter() - t0) / n_steps * 1e3
+    assert int(metrics.num_dropped_keys) == 0, int(metrics.num_dropped_keys)
+    print(json.dumps({
+        "metric": "train2d_step_ms_250k_1600x1066",
+        "value": round(ms, 2),
+        "unit": "ms/iter",
+        "vs_baseline": round((1000.0 / ms) / 15.0, 3),
+    }))
+
+
+def bench_kernel_parity_2d():
+    """Compiled-on-device surfel Pallas vs XLA parity (fwd + one VJP)."""
+    import jax
+    import jax.numpy as jnp
+
+    from scorp_tpu.core.camera import look_at_camera
+    from scorp_tpu.core.sh import rgb_to_sh
+    from scorp_tpu.ops.raster import RasterConfig
+    from scorp_tpu.ops.raster.pallas_surfel_train import rasterize_surfel_pallas
+    from scorp_tpu.ops.raster.surfel import rasterize_surfel_xla
+
+    rng = np.random.default_rng(5)
+    n = 384
+    xyz = jnp.asarray(rng.uniform(-1, 1, (n, 3)).astype(np.float32))
+    scales = jnp.asarray(np.exp(rng.normal(np.log(0.09), 0.4, (n, 2))).astype(np.float32))
+    quats = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    opa = jnp.asarray(rng.uniform(0.2, 0.95, n).astype(np.float32))
+    shs = np.zeros((n, 16, 3), np.float32)
+    shs[:, 0] = rgb_to_sh(rng.uniform(0.1, 0.9, (n, 3)))
+    shs = jnp.asarray(shs)
+    cam = look_at_camera(eye=[0, 0, -4], target=[0, 0, 0], up=[0, 1, 0],
+                         fovx=0.9, fovy=0.75, width=128, height=96)
+    bg = jnp.zeros(3, jnp.float32)
+    cfg = RasterConfig(max_keys=1 << 15, tile_list_len=512, chunk=32,
+                       pallas_chunk=128)
+
+    def loss(raster):
+        def f(xyz, opa):
+            out = raster(xyz, opa, cam, bg, shs=shs, sh_degree=3,
+                         scales=scales, quats=quats, cfg=cfg)
+            return (
+                ((out.color - 0.3) ** 2).mean()
+                + (out.alpha ** 2).mean()
+                + (out.normal ** 2).mean()
+                + 0.01 * jnp.abs(out.distortion).mean()
+            )
+        return f
+
+    lx, gx = jax.jit(jax.value_and_grad(loss(rasterize_surfel_xla)))(xyz, opa)
+    lp, gp = jax.jit(jax.value_and_grad(loss(rasterize_surfel_pallas)))(xyz, opa)
+    diff = max(float(jnp.abs(lx - lp)), float(jnp.max(jnp.abs(gx - gp))))
+    print(json.dumps({
+        "metric": "tpu_kernel_parity_2d",
+        "value": float(f"{diff:.3g}"),
+        "unit": "max_abs_diff (pass < 5e-3)",
+        "vs_baseline": 1.0 if diff < 5e-3 else 0.0,
+    }))
+
+
 def bench_kernel_parity():
     """Compiled-on-device Pallas vs XLA parity (fwd color/alpha + one VJP).
 
@@ -199,7 +332,19 @@ def main():
     )
     bench_render(*scene, cfg)
     bench_train_step(*scene, cfg)
+    # surfel (2DGS) path: no exact-cull drop (the quadratic tile test is
+    # not conservative for the homography alpha), so the trim is only
+    # capacity slack: measured 1.537M expanded keys on this scene
+    cfg2d = tuned_raster_config(
+        250_000,
+        max_keys=(1 << 20) + (1 << 19) + (1 << 18),
+        tile_list_len=4096, chunk=64,
+        stream_keys=(1 << 20) + (1 << 19) + (1 << 17),
+    )
+    bench_render2d(*scene, cfg2d)
+    bench_train2d_step(*scene, cfg2d)
     bench_kernel_parity()
+    bench_kernel_parity_2d()
 
 
 if __name__ == "__main__":

@@ -9,11 +9,11 @@ TPU-native redesign: the TSDF update is one jitted pass per view — the full
 voxel grid projects into the depth/color images as a batched matmul +
 bilinear gather, with the usual truncated-SDF weighted running average
 (open3d ScalableTSDFVolume semantics, voxel 0.004 / sdf_trunc 0.02 /
-depth_trunc 3 defaults). Triangulation uses naive surface nets (one vertex
-per sign-change cell at the centroid of edge crossings, quads split into
-triangles) instead of open3d/skimage marching cubes — neither library is
-available here; topology differs slightly from MC but the surface is
-equivalent at the voxel scale.
+depth_trunc 3 defaults). Triangulation defaults to marching cubes
+(`pipeline/marching_cubes.py`, tables derived at import — open3d/skimage/
+mcubes are absent here) matching the reference's MC topology
+(/root/reference/gs2dgs/utils/mcube_utils.py), with naive surface nets
+(one vertex per sign-change cell) kept as an alternative.
 """
 
 from __future__ import annotations
@@ -249,18 +249,19 @@ class GaussianExtractor:
         self.cameras = cameras
 
     def extract_mesh_bounded(self, center, extent, voxel_size=0.004,
-                             sdf_trunc=0.02, depth_trunc=3.0, max_resolution=256):
+                             sdf_trunc=0.02, depth_trunc=3.0, max_resolution=256,
+                             method="marching_cubes"):
         tsdf, weight, colors, origin, vs = tsdf_fuse(
             self.render_fn, self.cameras, center, extent,
             voxel_size, sdf_trunc, depth_trunc, max_resolution,
         )
-        return surface_nets(tsdf, weight, origin, vs, colors)
+        return _triangulate(method)(tsdf, weight, origin, vs, colors)
 
     def extract_mesh_unbounded(self, center, scale_radius, resolution=256,
-                               depth_trunc=1e9):
+                               depth_trunc=1e9, method="marching_cubes"):
         return tsdf_fuse_unbounded(
             self.render_fn, self.cameras, center, scale_radius,
-            resolution=resolution, depth_trunc=depth_trunc,
+            resolution=resolution, depth_trunc=depth_trunc, method=method,
         )
 
 
@@ -280,9 +281,17 @@ def uncontract(y: np.ndarray) -> np.ndarray:
     return np.where(norm <= 1.0, y, y / (safe * (2.0 - safe)))
 
 
+def _triangulate(method: str):
+    if method == "marching_cubes":
+        from .marching_cubes import marching_cubes
+        return marching_cubes
+    assert method == "surface_nets", method
+    return surface_nets
+
+
 def tsdf_fuse_unbounded(render_fn, cameras, center, scale_radius: float,
                         resolution: int = 256, sdf_trunc_vox: float = 4.0,
-                        depth_trunc: float = 1e9):
+                        depth_trunc: float = 1e9, method: str = "marching_cubes"):
     """TSDF fusion on a grid defined in CONTRACTED coordinates (covers the
     whole unbounded scene in a [-2, 2]^3 cube): voxel centers uncontract to
     world space before projecting into the depth maps."""
@@ -318,8 +327,8 @@ def tsdf_fuse_unbounded(render_fn, cameras, center, scale_radius: float,
             jnp.float32(sdf_trunc), jnp.float32(depth_trunc), width=w, height=h,
         )
     shape = (resolution, resolution, resolution)
-    # surface-nets vertices come out in contracted coords; uncontract after
-    verts, faces, vcols = surface_nets(
+    # mesh vertices come out in contracted coords; uncontract after
+    verts, faces, vcols = _triangulate(method)(
         np.asarray(tsdf).reshape(shape), np.asarray(weight).reshape(shape),
         np.full(3, -2.0), step, np.asarray(colors).reshape(shape + (3,)),
     )

@@ -70,6 +70,58 @@ class TestMesh:
         # most vertices near the sphere surface
         assert np.median(np.abs(radii - 0.8)) < 0.06, np.median(radii)
 
+    def test_marching_cubes_topology(self):
+        """Generated MC tables: watertight, correct Euler characteristic,
+        outward normals, exact edge-crossing vertices — including the
+        adversarial all-ambiguous binary field."""
+        from scorp_tpu.pipeline.marching_cubes import marching_cubes
+
+        def watertight(f):
+            de = {}
+            for tri in f:
+                for a, b in ((tri[0], tri[1]), (tri[1], tri[2]), (tri[2], tri[0])):
+                    de[(a, b)] = de.get((a, b), 0) + 1
+            ok = all(n == 1 for n in de.values()) and all(
+                (b, a) in de for (a, b) in de
+            )
+            return ok, len(de) // 2
+
+        n = 32
+        g = (np.arange(n) + 0.5) / n * 3.2 - 1.6
+        x, y, z = np.meshgrid(g, g, g, indexing="ij")
+        w = np.ones((n, n, n))
+
+        sph = np.sqrt(x**2 + y**2 + z**2) - 1.0
+        v, f, _ = marching_cubes(sph, w, np.full(3, -1.6), 3.2 / n)
+        ok, e = watertight(f)
+        assert ok and len(v) - e + len(f) == 2  # sphere: Euler 2
+        r = np.linalg.norm(v, axis=1)
+        assert r.min() > 0.98 and r.max() < 1.02
+        nrm = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+        cen = (v[f[:, 0]] + v[f[:, 1]] + v[f[:, 2]]) / 3
+        assert ((nrm * cen).sum(1) > 0).all()  # normals outward
+
+        tor = np.sqrt((np.sqrt(x**2 + y**2) - 1.0) ** 2 + z**2) - 0.4
+        v, f, _ = marching_cubes(tor, w, np.full(3, -1.6), 3.2 / n)
+        ok, e = watertight(f)
+        assert ok and len(v) - e + len(f) == 0  # torus: Euler 0
+
+        # worst case: random binary field exercises every ambiguous config
+        rng = np.random.default_rng(3)
+        b = np.where(rng.normal(size=(n, n, n)) > 0, 1.0, -1.0)
+        b[[0, -1], :, :] = 1.0
+        b[:, [0, -1], :] = 1.0
+        b[:, :, [0, -1]] = 1.0
+        v, f, _ = marching_cubes(b, w, np.zeros(3), 1.0)
+        ok, _ = watertight(f)
+        assert ok
+
+        # unobserved voxels masked like surface nets
+        w2 = w.copy()
+        w2[:5] = 0.0
+        v, f, _ = marching_cubes(sph, w2, np.full(3, -1.6), 3.2 / n)
+        assert len(f) > 0 and (v[:, 0] > -1.6 + 4 * 3.2 / n).all()
+
     def test_mesh_ply_roundtrip(self, tmp_path):
         from scorp_tpu.pipeline.mesh import save_mesh_ply
 

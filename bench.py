@@ -314,6 +314,21 @@ def bench_kernel_parity():
         "vs_baseline": 1.0 if diff < 5e-3 else 0.0,
     }))
 
+    # SSIM-on-device sanity: near-flat image pairs have true local variance
+    # ~1e-6; if the SSIM convolutions silently regress to TPU's default
+    # bf16 precision, E[x^2]-mu^2 goes negative past the C2 stabilizer and
+    # SSIM leaves [-1, 1] by orders of magnitude (the round-3 all-points-
+    # die training bug). Must run COMPILED on the device.
+    from scorp_tpu.ops.losses import ssim as _ssim
+
+    rng2 = np.random.default_rng(11)
+    flat_a = jnp.asarray(
+        0.5 + 1e-3 * rng2.normal(size=(3, 256, 256)).astype(np.float32))
+    flat_b = jnp.asarray(
+        0.5 + 1e-3 * rng2.normal(size=(3, 256, 256)).astype(np.float32))
+    s = float(jax.jit(_ssim)(flat_a, flat_b))
+    assert -1.0001 <= s <= 1.0001, f"device SSIM insane on flat images: {s}"
+
 
 def main():
     from scorp_tpu.render import tuned_raster_config

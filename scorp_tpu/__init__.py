@@ -23,3 +23,14 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# TPU's DEFAULT dot/conv precision is bf16 (measured 7.7e-2 max error on a
+# [4096,3]x[3,3] product vs 1.1e-6 at HIGHEST). The reference is f32 CUDA
+# torch, and several pipeline stages are cancellation-sensitive (SSIM
+# variances, Umeyama covariances, camera projections), so f32-exact matmuls
+# are the package-wide default. Every dot that WANTS bf16 for speed (the
+# Pallas scan contractions, the one-hot expansion gather) casts its
+# operands to bf16 or passes `precision=` explicitly and is unaffected.
+_jax.config.update("jax_default_matmul_precision", "highest")

@@ -57,13 +57,21 @@ def _sep_conv2d(img: jnp.ndarray, win: jnp.ndarray, window_size: int) -> jnp.nda
     kx = win.reshape(1, 1, 1, window_size)
     dn = jax.lax.conv_dimension_numbers(x.shape, ky.shape, ("NCHW", "OIHW", "NCHW"))
     pad = window_size // 2
+    # HIGHEST is mandatory, not a nicety: TPU's default conv precision is
+    # bf16, whose ~1e-3 moment error makes E[x^2]-mu^2 NEGATIVE on flat
+    # image regions (true local variance ~1e-6), flipping the sign of
+    # SSIM's sigma1+sigma2+C2 denominator — the loss then explodes to
+    # +-100s on smooth scenes while staying sane on textured ones (and on
+    # CPU, where convs are f32). Torch parity also requires f32 conv.
     x = jax.lax.conv_general_dilated(
         x, jnp.tile(ky, (c, 1, 1, 1)), (1, 1), [(pad, pad), (0, 0)],
         dimension_numbers=dn, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
     x = jax.lax.conv_general_dilated(
         x, jnp.tile(kx, (c, 1, 1, 1)), (1, 1), [(0, 0), (pad, pad)],
         dimension_numbers=dn, feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return x[0]
 

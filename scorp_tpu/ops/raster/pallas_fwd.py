@@ -155,10 +155,15 @@ def _scan_mm(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
     tri_b = tri.astype(jnp.bfloat16)
 
     def bmm(a):
+        # precision must be EXPLICIT DEFAULT: the package-wide
+        # jax_default_matmul_precision=highest would stamp fp32 contract
+        # precision onto this bf16 dot, which Mosaic rejects ("Bad lhs
+        # type"); DEFAULT on bf16 operands is the single exact MXU pass.
         return jax.lax.dot_general(
             a, tri_b,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
 
     return bmm(hi) + bmm(lo)

@@ -4,10 +4,13 @@ chunk-aligned depth-sorted key stream.
 Division of labor:
   * preprocess (projection/EWA/SH) is plain JAX — autodiff produces its
     exact reverse;
-  * the training stream is CHUNK-ALIGNED: every tile segment starts on a
-    pallas_chunk boundary (per-tile tail padding, cap + 128/tile). The
-    kernels see head=0 and the backward kernel's chunk-aligned output
-    segments ARE stream positions — no pad->stream remap exists;
+  * the training stream is COMPACT — identical to the eval stream: sorted
+    key positions ARE stream positions (no alignment padding, no slot-id
+    remap gather). The backward kernel writes gradient blocks on the
+    global pallas_chunk grid; blocks straddling tiles within a program are
+    merged in VMEM, and each program's lowest block (the only one another
+    program can share) is emitted to a side output the caller adds back
+    with one tiny scatter (see pallas_bwd);
   * the custom_vjp boundary is (per-gaussian table [N,11], integer routing,
     bg) -> tile images. Forward: one u16 row gather builds the stream
     payload (XLA's 16-bit row gather from a VMEM-sized table runs ~3x
@@ -58,18 +61,18 @@ def _make_composite(width: int, height: int, cfg: RasterConfig, interpret: bool)
     tiles_x, tiles_y = grid_dims(width, height)
     num_tiles = tiles_x * tiles_y
     chunk = cfg.pallas_chunk
-    # aligned stream capacity: every GROUP of tiles (one backward program)
-    # is padded to a chunk multiple — worst-case one chunk per group, not
-    # per tile (the backward merges tile-straddling blocks in VMEM). The
-    # base is the post-cull stream capacity, not the expansion capacity.
-    k_al = aligned_cap(num_tiles, cfg, GROUP)
+    k2 = cfg.stream_cap
+    # backward output capacity: the compact stream rounded up to whole
+    # chunk blocks (the backward writes one [16, chunk] block per global
+    # chunk-grid slot)
+    k_pad = -(-k2 // chunk) * chunk
 
     def _build_stream(table, g_pad):
-        key_rows = gather_rows_u16(table, g_pad)  # [K_al, 11]
+        key_rows = gather_rows_u16(table, g_pad)  # [K2, 11]
         data = jnp.concatenate(
             [
                 key_rows[:, :DATA_ROWS].T,
-                jnp.zeros((DATA_ROWS_PADDED - DATA_ROWS, k_al), jnp.float32),
+                jnp.zeros((DATA_ROWS_PADDED - DATA_ROWS, k2), jnp.float32),
             ],
             axis=0,
         )
@@ -107,17 +110,17 @@ def _make_composite(width: int, height: int, cfg: RasterConfig, interpret: bool)
          alpha_t, ncontrib_t, n_rows) = res
         g_color_t, g_depth_t, g_alpha_t = grads
 
-        # aligned stream: output chunk slots are exactly stream positions
+        # compact stream: output chunk slots are exactly stream positions
         chunk_base = tile_start // chunk
         grads_padded = backward_kernel_call(
             data, tile_start, tile_count, chunk_base, bg,
             g_color_t, g_depth_t, g_alpha_t, alpha_t, ncontrib_t,
-            width=width, height=height, cfg=cfg, k_pad=k_al, interpret=interpret,
-        )  # [K_al/C, 16, C] blocks, zero outside written segments
+            width=width, height=height, cfg=cfg, k_pad=k_pad, interpret=interpret,
+        )  # [K_pad/C, 16, C] blocks, zero outside written segments
 
         # local per-block transpose (bandwidth) then one unsorted scatter-add
         # onto gaussians; padding slots carry the n_rows sentinel -> dropped
-        updates = grads_padded.transpose(0, 2, 1).reshape(k_al, 16)
+        updates = grads_padded.transpose(0, 2, 1).reshape(k_pad, 16)
         d_table16 = (
             jnp.zeros((n_rows, 16), jnp.float32)
             .at[g_drop]
@@ -133,17 +136,57 @@ def _make_composite(width: int, height: int, cfg: RasterConfig, interpret: bool)
         d_bg = jnp.sum(t_final * g_color_t, axis=(0, 2))
 
         zf = lambda x: jnp.zeros_like(x, jnp.float32)  # noqa: E731
-        return (d_table, zf(g_drop), zf(g_drop), zf(tile_start),
-                zf(tile_count), d_bg)
+        return (d_table, jnp.zeros(k2, jnp.float32), zf(g_drop),
+                zf(tile_start), zf(tile_count), d_bg)
 
     composite.defvjp(composite_fwd, composite_bwd)
     return composite
 
 
 def aligned_cap(num_tiles: int, cfg: RasterConfig, group: int) -> int:
-    """Static capacity of the group-aligned training stream."""
+    """Static capacity of a group-aligned training stream (surfel path;
+    the 3DGS path now runs on the compact stream, see _compact_routing)."""
     n_groups = -(-num_tiles // group)
     return cfg.stream_cap + n_groups * cfg.pallas_chunk
+
+
+def _compact_routing(prep_sg, width, height, cfg, cull: bool = True,
+                     interpret: bool = False):
+    """Integer routing for the COMPACT training stream.
+
+    Sorted key positions are stream positions: no alignment padding and no
+    slot-id remap gather (the per-slot g16 gather of the old group-aligned
+    stream, ~9 ms at 1.7M keys on v5e, is gone). The backward kernel's
+    side-block outputs (pallas_bwd) make cross-program chunk sharing safe.
+
+    Returns (g_pad [K2] gather ids, g_drop [K_pad] scatter ids with
+    out-of-stream slots set to a drop sentinel, tile_start [T],
+    tile_count [T], dropped key count, order).
+    """
+    tiles_x, tiles_y = grid_dims(width, height)
+    num_tiles = tiles_x * tiles_y
+    chunk = cfg.pallas_chunk
+    k = cfg.max_keys
+    k2 = cfg.stream_cap
+    k_pad = -(-k2 // chunk) * chunk
+
+    sorted_tile, g_sorted, order, total, kept = sorted_expansion(
+        prep_sg, width, height, k, cull=cull, interpret=interpret
+    )
+    # culled/out-of-range keys sorted past the end; the slice compacts
+    sorted_tile = sorted_tile[:k2]
+    g_sorted = g_sorted[:k2]
+    tile_start, tile_count = _tile_bounds(sorted_tile, num_tiles)
+    k_end = tile_start[-1] + tile_count[-1]  # kept total (<= k2)
+
+    n_rows = prep_sg.xy.shape[0]
+    j = jax.lax.broadcasted_iota(jnp.int32, (k_pad, 1), 0)[:, 0]
+    g_ext = jnp.concatenate(
+        [g_sorted, jnp.zeros(k_pad - k2, jnp.int32)]
+    ) if k_pad > k2 else g_sorted
+    g_drop = jnp.where(j < k_end, g_ext, n_rows)  # sentinel -> scatter drop
+    dropped = jnp.maximum(total - k, 0) + jnp.maximum(kept - k2, 0)
+    return g_sorted, g_drop, tile_start, tile_count, dropped, order
 
 
 def _aligned_routing(prep_sg, width, height, cfg, cull: bool = True,
@@ -247,8 +290,8 @@ def rasterize_pallas(
     )
     # integer routing (no gradients)
     prep_sg = jax.lax.stop_gradient(prep)
-    g_pad, g_drop, aligned_start, tile_count, dropped, order = _aligned_routing(
-        prep_sg, w, h, cfg, group=GROUP, interpret=interpret
+    g_pad, g_drop, tile_start, tile_count, dropped, order = _compact_routing(
+        prep_sg, w, h, cfg, interpret=interpret
     )
 
     # differentiable payload table, depth-ordered (VJP: N-sized scatter-add)
@@ -269,7 +312,7 @@ def rasterize_pallas(
     composite = _make_composite(w, h, cfg, interpret)
     color_t, depth_t, alpha_t = composite(
         table, _f32(g_pad), _f32(g_drop),
-        _f32(aligned_start), _f32(tile_count), bg.astype(jnp.float32),
+        _f32(tile_start), _f32(tile_count), bg.astype(jnp.float32),
     )
     color = tiles_cp_to_image(color_t, w, h)
     depth = tiles_cp_to_image(depth_t, w, h)

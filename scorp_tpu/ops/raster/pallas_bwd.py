@@ -24,12 +24,16 @@ but vectorized over [P pixels, C keys] blocks:
     alpha <= 0.99 bounds each log term by 4.6), and the suffix sums
     S_i = sum_{j>i} w_j u_j are one more MXU contraction;
   * per-key gradients are reduced over pixels (MXU contractions for
-    color/depth, sublane reductions for the geometry terms) and written to
-    a GROUP-aligned padded buffer: each program (group of tiles) owns a
-    disjoint chunk-aligned span, while blocks straddling tile boundaries
-    inside the group are merged in VMEM by a carry accumulator before the
-    single flush DMA — no atomics and no cross-program races, and the
-    aligned capacity pays one chunk per group instead of one per tile;
+    color/depth, sublane reductions for the geometry terms) and written at
+    COMPACT stream positions on the global chunk grid: blocks straddling
+    tile boundaries inside a program are merged in VMEM by a carry
+    accumulator before the single flush DMA, and the one block that can be
+    shared with ANOTHER program — the program's final (lowest) carry, since
+    main-flushed blocks (lo, hi] of consecutive programs provably never
+    overlap once each program side-routes its lowest block — goes to a
+    per-program side output plus its block index, which the caller adds
+    back with one tiny scatter. No atomics, no cross-program races, and no
+    alignment padding of the stream at all;
   * gradient formulas match the CUDA backward, including its treatment of
     the 0.99 alpha clamp (gradients propagate through opa*exp(power)
     unconditionally) and the exclusion of skipped/post-termination keys.
@@ -111,6 +115,10 @@ def _bwd_kernel(
     ncontrib_ref,     # [G, 1, P] i32
     # outputs
     out_grads_ref,    # [K_pad/C, 16, C] f32 ANY (one block per chunk slot)
+    side_ref,         # [1, 16, C] f32 VMEM: this program's final carry block
+    idx_ref,          # [1, 8, 128] i32 VMEM: side block's global index
+                      # (broadcast over the block; Mosaic's (8,128)-divisible
+                      # output-block rule forbids a [1,128] row)
     # scratch
     chunk_vmem,       # [G+2, 16, C]
     grad_vmem,        # [2, 16, C]
@@ -173,11 +181,16 @@ def _bwd_kernel(
     # Merge-carry writer. Tiles are processed in REVERSE group order and
     # each tile walks its chunks back-to-front, so the global output block
     # indices visited by this program are non-increasing. The stream is
-    # aligned per GROUP, not per tile: a chunk block can straddle adjacent
+    # COMPACT (no alignment padding): a chunk block can straddle adjacent
     # tiles' segments, so the last block of the walk may be the same block
     # the next tile touches first. The open "carry" block accumulates those
     # contributions in VMEM and is flushed (one DMA) only when a lower
-    # block index appears. State threads across tiles:
+    # block index appears — except the FINAL carry (the program's lowest
+    # block, which may also hold keys of the PREVIOUS program's tiles):
+    # that one goes to side_ref/idx_ref and is scatter-added by the caller.
+    # Main flushes of program i therefore cover (lo_i, hi_i]; consecutive
+    # programs satisfy hi_i <= lo_{i+1}, so no block has two main writers.
+    # State threads across tiles:
     #   cblk  — open carry's global block index (-1 = none)
     #   cslot — grad_vmem slot holding the open carry
     #   w0/w1 — f32 0/1: slot's previous flush DMA still outstanding
@@ -343,18 +356,19 @@ def _bwd_kernel(
         )
         carry_w = (cblk, cslot, w0, w1)
 
-    # final flush of the open carry, then drain both slots
+    # final carry -> side output (plain VMEM copy, no DMA): its block may
+    # also be written by the previous program's main flushes, so the caller
+    # owns the add. Empty programs emit zeros at dummy index 0.
     cblk, cslot, w0, w1 = carry_w
+    side_ref[0] = jnp.zeros((16, chunk), jnp.float32)
     for k in (0, 1):
         @pl.when((cblk >= 0) & (cslot == k))
         def _(k=k):
-            pltpu.make_async_copy(
-                grad_vmem.at[k], out_grads_ref.at[cblk], sem_out.at[k]
-            ).start()
+            side_ref[0] = grad_vmem[k]
 
-    w0 = jnp.maximum(w0, ((cblk >= 0) & (cslot == 0)).astype(jnp.float32))
-    w1 = jnp.maximum(w1, ((cblk >= 0) & (cslot == 1)).astype(jnp.float32))
+    idx_ref[0] = jnp.broadcast_to(jnp.maximum(cblk, 0), (8, 128))
 
+    # drain outstanding main-flush DMAs
     @pl.when(w0 > 0.5)
     def _():
         _wait_out(0)
@@ -412,7 +426,16 @@ def backward_kernel_call(
             pl.BlockSpec((group, 1, p), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # zeros (aliased to output)
         ],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, data.shape[0], chunk), lambda t, *_: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 8, 128), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
         scratch_shapes=[
             pltpu.VMEM((group + 2, data.shape[0], chunk), jnp.float32),
             pltpu.VMEM((2, data.shape[0], chunk), jnp.float32),
@@ -421,20 +444,24 @@ def backward_kernel_call(
         ],
     )
 
-    def kernel(ts, tc, cb, bgr, data_ref, gc, gd, ga, ao, nc, zeros_ref, out_ref,
+    def kernel(ts, tc, cb, bgr, data_ref, gc, gd, ga, ao, nc, zeros_ref,
+               out_ref, side_ref, idx_ref,
                chunk_vmem, grad_vmem, sem_in, sem_out):
         del zeros_ref
         _bwd_kernel(
-            ts, tc, cb, bgr, data_ref, gc, gd, ga, ao, nc, out_ref,
+            ts, tc, cb, bgr, data_ref, gc, gd, ga, ao, nc,
+            out_ref, side_ref, idx_ref,
             chunk_vmem, grad_vmem, sem_in, sem_out,
             tiles_x=tiles_x, chunk=chunk, group=group,
         )
 
-    (out_grads,) = pl.pallas_call(
+    out_grads, side, idx = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((k_pad // chunk, data.shape[0], chunk), jnp.float32)
+            jax.ShapeDtypeStruct((k_pad // chunk, data.shape[0], chunk), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups, data.shape[0], chunk), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups, 8, 128), jnp.int32),
         ],
         input_output_aliases={10: 0},  # zeros input (after 4 prefetch args) -> output
         interpret=interpret,
@@ -443,4 +470,7 @@ def backward_kernel_call(
         data, _pad_t(g_color_t), _pad_t(g_depth_t), _pad_t(g_alpha_t),
         _pad_t(alpha_t), _pad_t(ncontrib_t), zeros_out,
     )
+    # each program's final (lowest) carry block, added here because its
+    # block may also hold the previous program's main-flushed partials
+    out_grads = out_grads.at[idx[:, 0, 0]].add(side)
     return out_grads

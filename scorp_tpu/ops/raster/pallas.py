@@ -143,13 +143,6 @@ def _make_composite(width: int, height: int, cfg: RasterConfig, interpret: bool)
     return composite
 
 
-def aligned_cap(num_tiles: int, cfg: RasterConfig, group: int) -> int:
-    """Static capacity of a group-aligned training stream (surfel path;
-    the 3DGS path now runs on the compact stream, see _compact_routing)."""
-    n_groups = -(-num_tiles // group)
-    return cfg.stream_cap + n_groups * cfg.pallas_chunk
-
-
 def _compact_routing(prep_sg, width, height, cfg, cull: bool = True,
                      interpret: bool = False):
     """Integer routing for the COMPACT training stream.
@@ -188,77 +181,6 @@ def _compact_routing(prep_sg, width, height, cfg, cull: bool = True,
     dropped = jnp.maximum(total - k, 0) + jnp.maximum(kept - k2, 0)
     return g_sorted, g_drop, tile_start, tile_count, dropped, order
 
-
-def _aligned_routing(prep_sg, width, height, cfg, cull: bool = True,
-                     group: int = 1, interpret: bool = False):
-    """Integer routing for the aligned training stream.
-
-    Alignment is at GROUP granularity: each group of `group` consecutive
-    tiles (one backward program) starts on a pallas_chunk boundary, while
-    tiles inside a group stay compact (contiguous). The backward kernel
-    merges the chunk blocks that straddle tile boundaries in VMEM before
-    writing, so per-tile alignment is unnecessary — and the static aligned
-    capacity drops from K2 + num_tiles*chunk to K2 + n_groups*chunk
-    (~2.4M -> ~1.6M at 250k/1600x1066/chunk=128), shrinking every
-    K_al-proportional stage: the stream gather, the slot-id gather, and
-    the backward scatter-add. group=1 reproduces per-tile alignment
-    (used by the surfel trainer until it adopts the merge writer).
-
-    Returns (g_pad [K_al] clamped gather ids, g_drop [K_al] scatter ids with
-    out-of-segment slots set to a drop sentinel, aligned_start [T],
-    tile_count [T], dropped key count, order).
-    """
-    tiles_x, tiles_y = grid_dims(width, height)
-    num_tiles = tiles_x * tiles_y
-    chunk = cfg.pallas_chunk
-    k = cfg.max_keys
-    k2 = cfg.stream_cap
-    k_al = aligned_cap(num_tiles, cfg, group)
-
-    sorted_tile, g_sorted, order, total, kept = sorted_expansion(
-        prep_sg, width, height, k, cull=cull, interpret=interpret
-    )
-    # culled/out-of-range keys sorted past the end; the slice compacts
-    sorted_tile = sorted_tile[:k2]
-    g_sorted = g_sorted[:k2]
-    tile_start, tile_count = _tile_bounds(sorted_tile, num_tiles)
-
-    # group-level alignment: tile ranges are contiguous (_tile_bounds), so
-    # a group's key range is [start of first tile, start of next group)
-    gi_start = tile_start[::group]                       # [n_groups]
-    k_end = tile_start[-1] + tile_count[-1]              # kept total (<= k2)
-    gi_end = jnp.concatenate([gi_start[1:], k_end[None]])
-    g_count = gi_end - gi_start
-    aligned_gcount = -(-g_count // chunk) * chunk
-    ag_start = jnp.cumsum(aligned_gcount) - aligned_gcount
-
-    # aligned tile starts = compact starts + their group's pad shift
-    padshift_g = ag_start - gi_start                     # [n_groups] non-dec
-    aligned_start = tile_start + jnp.repeat(padshift_g, group)[:num_tiles]
-
-    # per aligned slot p: its stream position j = p - padshift, and the
-    # (exclusive) end of its group's stream range; both recovered from a
-    # monotone scatter + cummax over group starts
-    padshift_p = jax.lax.cummax(
-        jnp.zeros(k_al, jnp.int32).at[ag_start].max(padshift_g, mode="drop")
-    )
-    end_p = jax.lax.cummax(
-        jnp.zeros(k_al, jnp.int32).at[ag_start].max(gi_end, mode="drop")
-    )
-    p = jax.lax.broadcasted_iota(jnp.int32, (k_al, 1), 0)[:, 0]
-    j_of_p = p - padshift_p
-    valid_p = j_of_p < end_p
-
-    # [K, 2] source (g duplicated): a [K, 1] source lowers to a tiny-row
-    # column-major gather that is ~4x slower on TPU
-    gsrc = _f32(jnp.stack([g_sorted, g_sorted], axis=1))
-    g16 = gather_rows_u16(gsrc, jnp.clip(j_of_p, 0, k2 - 1))
-    g_j = _i32(g16[:, 0])
-    n_rows = prep_sg.xy.shape[0]
-    g_pad = jnp.where(valid_p, g_j, 0)
-    g_drop = jnp.where(valid_p, g_j, n_rows)  # sentinel -> scatter drop
-    dropped = jnp.maximum(total - k, 0) + jnp.maximum(kept - k2, 0)
-    return g_pad, g_drop, aligned_start, tile_count, dropped, order
 
 
 def rasterize_pallas(

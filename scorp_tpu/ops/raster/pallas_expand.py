@@ -28,7 +28,7 @@ with one kernel that maps key slots directly to their source gaussians:
     out-of-range keys carry the num_tiles sentinel tile and sort past
     every live key.
 
-Used by the TPU Pallas rasterizer paths (bin_stream / _aligned_routing);
+Used by the TPU Pallas rasterizer paths (bin_stream / _compact_routing);
 the XLA expansion remains the golden path and the fallback when the
 packed key does not fit 31 bits.
 """

@@ -1,8 +1,8 @@
 """Differentiable Pallas 2DGS surfel rasterizer (training path).
 
-Mirrors pallas.py's chunk-aligned custom-VJP design with the surfel math of
-pallas_surfel.py, replacing the XLA-autodiff training path (~1 s/step at
-kitchen scale). Gradient semantics match the reference
+Mirrors pallas.py's COMPACT-stream custom-VJP design with the surfel math
+of pallas_surfel.py, replacing the XLA-autodiff training path (~1 s/step
+at kitchen scale). Gradient semantics match the reference
 diff-surfel-rasterization backward (loss use at
 /root/reference/train_2dgs.py:141-150, channel contract at
 gs2dgs/gaussian_renderer/__init__.py:111-154):
@@ -20,7 +20,9 @@ gs2dgs/gaussian_renderer/__init__.py:111-154):
     pipelined gradient write-out), recomputes the ray-splat homography,
     and emits
     per-key gradients for all 21 stream rows (M 9, zrow 3, center xy 2,
-    color 3, opacity 1, normal 3) at chunk-aligned stream positions;
+    color 3, opacity 1, normal 3) at COMPACT stream positions on the
+    global chunk grid, side-routing each program's final carry block (the
+    only block another program can share) exactly like pallas_bwd;
   * gradients through the alpha=0.99 clamp propagate unconditionally
     (CUDA semantics); u,v clip gates and the rho3d/rho2d min-branch follow
     the XLA path's autodiff exactly.
@@ -36,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .common import RasterConfig, TILE, fast_gather_rows, gather_rows_u16, grid_dims
-from .pallas import _aligned_routing, _f32, _i32, aligned_cap
+from .pallas import _compact_routing, _f32, _i32
 from .pallas_fwd import _scan_mm, _strict_lower_tri, tiles_cp_to_image
 from .pallas_bwd import _rev_cumsum_mxu, _suffix_tri
 from .pallas_surfel import SURFEL_ROWS
@@ -101,8 +103,8 @@ def _surfel_geometry(cur, pix_x, pix_y):
 
 
 GROUP2D_TRAIN = 8  # tiles per training program (fwd and bwd share it: the
-                   # group-aligned stream pads once per group, and the bwd
-                   # merge-carry needs a group's tiles in one program)
+                   # bwd merge-carry accumulates a group's tile-straddling
+                   # chunk blocks in VMEM within one program)
 
 
 def _surfel_train_fwd_kernel(
@@ -131,7 +133,7 @@ def _surfel_train_fwd_kernel(
 
     def _copy(start, ci, slot):
         # chunk-granular base: read windows sit on the global chunk grid
-        # (group-aligned stream: a tile may start mid-chunk)
+        # (compact stream: a tile may start mid-chunk)
         base = (start // chunk) * chunk
         offset = pl.multiple_of(base + ci * chunk, 128)
         return pltpu.make_async_copy(
@@ -286,7 +288,11 @@ def _surfel_bwd_kernel(
     g_color_ref, g_alpha_ref, g_depth_ref, g_normal_ref, g_median_ref,
     g_dist_ref,
     alpha_out_ref, ncon_ref, nmed_ref, wm_ref, wm2_ref,
-    out_grads_ref,    # [K_al/C, 24, C]
+    out_grads_ref,    # [K_pad/C, 24, C]
+    side_ref,         # [1, 24, C] f32 VMEM: this program's final carry block
+    idx_ref,          # [1, 8, 128] i32 VMEM: side block's global index
+                      # (broadcast over the block; Mosaic's (8,128)-divisible
+                      # output-block rule forbids a [1,128] row)
     chunk_vmem, grad_vmem, sem_in, sem_out,
     *, tiles_x: int, chunk: int, group: int,
 ):
@@ -554,18 +560,19 @@ def _surfel_bwd_kernel(
         )
         carry_w = (cblk, cslot, w0, w1)
 
-    # final flush of the open carry, then drain both slots
+    # final carry -> side output (plain VMEM copy, no DMA): its block may
+    # also be written by the previous program's main flushes, so the caller
+    # owns the add. Empty programs emit zeros at dummy index 0.
     cblk, cslot, w0, w1 = carry_w
+    side_ref[0] = jnp.zeros((SURFEL_ROWS, chunk), jnp.float32)
     for k in (0, 1):
         @pl.when((cblk >= 0) & (cslot == k))
         def _(k=k):
-            pltpu.make_async_copy(
-                grad_vmem.at[k], out_grads_ref.at[cblk], sem_out.at[k]
-            ).start()
+            side_ref[0] = grad_vmem[k]
 
-    w0 = jnp.maximum(w0, ((cblk >= 0) & (cslot == 0)).astype(jnp.float32))
-    w1 = jnp.maximum(w1, ((cblk >= 0) & (cslot == 1)).astype(jnp.float32))
+    idx_ref[0] = jnp.broadcast_to(jnp.maximum(cblk, 0), (8, 128))
 
+    # drain outstanding main-flush DMAs
     @pl.when(w0 > 0.5)
     def _():
         _wait_out(0)
@@ -623,13 +630,13 @@ def _surfel_train_fwd_call(data, tile_start, tile_count, bg, *, width, height,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "cfg", "k_al", "interpret")
+    jax.jit, static_argnames=("width", "height", "cfg", "k_pad", "interpret")
 )
 def _surfel_bwd_call(
     data, tile_start, tile_count, bg,
     g_color_t, g_alpha_t, g_depth_t, g_normal_t, g_median_t, g_dist_t,
     alpha_t, ncon_t, nmed_t, wm_t, wm2_t,
-    *, width, height, cfg, k_al, interpret=False,
+    *, width, height, cfg, k_pad, interpret=False,
 ):
     tiles_x, tiles_y = grid_dims(width, height)
     num_tiles = tiles_x * tiles_y
@@ -640,8 +647,8 @@ def _surfel_bwd_call(
     t_pad = n_groups * group
     pad = t_pad - num_tiles
     bg4 = jnp.concatenate([bg.astype(jnp.float32), jnp.zeros(1, jnp.float32)])
-    assert k_al % chunk == 0
-    zeros_out = jnp.zeros((k_al // chunk, SURFEL_ROWS, chunk), jnp.float32)
+    assert k_pad % chunk == 0
+    zeros_out = jnp.zeros((k_pad // chunk, SURFEL_ROWS, chunk), jnp.float32)
 
     def _pad_t(x):
         return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
@@ -659,7 +666,16 @@ def _surfel_bwd_call(
             spec(1), spec(1), spec(1), spec(1), spec(1),
             pl.BlockSpec(memory_space=pl.ANY),  # zeros (aliased)
         ],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, SURFEL_ROWS, chunk), lambda t, *_: (t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 8, 128), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
         scratch_shapes=[
             pltpu.VMEM((group + 2, SURFEL_ROWS, chunk), jnp.float32),
             pltpu.VMEM((2, SURFEL_ROWS, chunk), jnp.float32),
@@ -669,21 +685,23 @@ def _surfel_bwd_call(
     )
 
     def kernel(ts, tc, bgr, data_ref, gc, ga, gd, gn, gm, gdist,
-               ao, nc, nm, wm, wm2, zeros_ref, out_ref,
+               ao, nc, nm, wm, wm2, zeros_ref, out_ref, side_ref, idx_ref,
                chunk_vmem, grad_vmem, sem_in, sem_out):
         del zeros_ref
         _surfel_bwd_kernel(
             ts, tc, bgr, data_ref, gc, ga, gd, gn, gm, gdist,
-            ao, nc, nm, wm, wm2, out_ref,
+            ao, nc, nm, wm, wm2, out_ref, side_ref, idx_ref,
             chunk_vmem, grad_vmem, sem_in, sem_out,
             tiles_x=tiles_x, chunk=chunk, group=group,
         )
 
-    (out_grads,) = pl.pallas_call(
+    out_grads, side, idx = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((k_al // chunk, SURFEL_ROWS, chunk), jnp.float32)
+            jax.ShapeDtypeStruct((k_pad // chunk, SURFEL_ROWS, chunk), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups, SURFEL_ROWS, chunk), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups, 8, 128), jnp.int32),
         ],
         input_output_aliases={15: 0},  # zeros input (after 3 prefetch args)
         interpret=interpret,
@@ -694,6 +712,9 @@ def _surfel_bwd_call(
         _pad_t(alpha_t), _pad_t(ncon_t), _pad_t(nmed_t), _pad_t(wm_t),
         _pad_t(wm2_t), zeros_out,
     )
+    # each program's final (lowest) carry block, added here because its
+    # block may also hold the previous program's main-flushed partials
+    out_grads = out_grads.at[idx[:, 0, 0]].add(side)
     return out_grads
 
 
@@ -703,20 +724,22 @@ SURFEL_COLS = 21  # table columns: M 9, zrow 3, xy 2, color 3, opa 1, normal 3
 @functools.lru_cache(maxsize=64)
 def _make_surfel_composite(width: int, height: int, cfg: RasterConfig,
                            interpret: bool):
-    tiles_x, tiles_y = grid_dims(width, height)
-    num_tiles = tiles_x * tiles_y
     chunk = cfg.pallas_chunk
-    k_al = aligned_cap(num_tiles, cfg, GROUP2D_TRAIN)
+    k2 = cfg.stream_cap
+    # backward output capacity: the compact stream rounded up to whole
+    # chunk blocks (see pallas.py)
+    k_pad = -(-k2 // chunk) * chunk
 
     def _build_stream(table, g_pad):
-        key_rows = gather_rows_u16(table, g_pad)  # [K_al, 22]
+        key_rows = gather_rows_u16(table, g_pad)  # [K2, 22]
         data = jnp.concatenate(
             [
                 key_rows[:, :SURFEL_COLS].T,
-                jnp.zeros((SURFEL_ROWS - SURFEL_COLS, k_al), jnp.float32),
+                jnp.zeros((SURFEL_ROWS - SURFEL_COLS, k2), jnp.float32),
             ],
             axis=0,
         )
+        # chunk-sized tail pad so kernel DMA windows never run off the end
         return jnp.concatenate(
             [data, jnp.zeros((SURFEL_ROWS, chunk), jnp.float32)], axis=1
         )
@@ -755,9 +778,9 @@ def _make_surfel_composite(width: int, height: int, cfg: RasterConfig,
             data, tile_start, tile_count, bg,
             g_color_t, g_alpha_t, g_depth_t, g_normal_t, g_median_t, g_dist_t,
             alpha_t, ncon_t, nmed_t, wm_t, wm2_t,
-            width=width, height=height, cfg=cfg, k_al=k_al, interpret=interpret,
+            width=width, height=height, cfg=cfg, k_pad=k_pad, interpret=interpret,
         )
-        updates = grads_padded.transpose(0, 2, 1).reshape(k_al, SURFEL_ROWS)
+        updates = grads_padded.transpose(0, 2, 1).reshape(k_pad, SURFEL_ROWS)
         d_table24 = (
             jnp.zeros((n_rows, SURFEL_ROWS), jnp.float32)
             .at[g_drop]
@@ -772,8 +795,8 @@ def _make_surfel_composite(width: int, height: int, cfg: RasterConfig,
         d_bg = jnp.sum(t_final * g_color_t, axis=(0, 2))
 
         zf = lambda x: jnp.zeros_like(x, jnp.float32)  # noqa: E731
-        return (d_table, zf(g_drop), zf(g_drop), zf(tile_start),
-                zf(tile_count), d_bg)
+        return (d_table, jnp.zeros(k2, jnp.float32), zf(g_drop),
+                zf(tile_start), zf(tile_count), d_bg)
 
     composite.defvjp(composite_fwd, composite_bwd)
     return composite
@@ -797,8 +820,8 @@ def rasterize_surfel_pallas(
     prep_sg = jax.lax.stop_gradient(_surfel_prep_to_common(prep))
     # cull=False: the ellipse-tile cull needs a 3DGS conic; surfel prep
     # carries none (the adapter zeroes it, making the test a no-op anyway)
-    g_pad, g_drop, aligned_start, tile_count, dropped, order = _aligned_routing(
-        prep_sg, w, h, cfg, cull=False, group=GROUP2D_TRAIN, interpret=interpret
+    g_pad, g_drop, tile_start, tile_count, dropped, order = _compact_routing(
+        prep_sg, w, h, cfg, cull=False, interpret=interpret
     )
 
     n = means3d.shape[0]
@@ -818,7 +841,7 @@ def rasterize_surfel_pallas(
     composite = _make_surfel_composite(w, h, cfg, interpret)
     color_t, alpha_t, depth_t, normal_t, median_t, dist_t = composite(
         table, _f32(g_pad), _f32(g_drop),
-        _f32(aligned_start), _f32(tile_count), bg.astype(jnp.float32),
+        _f32(tile_start), _f32(tile_count), bg.astype(jnp.float32),
     )
     color = tiles_cp_to_image(color_t, w, h)
     alpha = tiles_cp_to_image(alpha_t, w, h)

@@ -374,41 +374,45 @@ class TestTunedConfig:
         assert g3.stream_keys == 0
 
 
-class TestAlignedRouting:
-    """Group-aligned training-stream routing invariants."""
+class TestCompactRouting:
+    """Compact training-stream routing invariants (sorted key positions
+    ARE stream positions; scatter slots past the kept total carry the
+    drop sentinel)."""
 
-    def test_group_alignment_invariants(self):
+    def test_compact_invariants(self):
         from scorp_tpu.ops.raster.common import preprocess
-        from scorp_tpu.ops.raster.pallas import _aligned_routing, aligned_cap
+        from scorp_tpu.ops.raster.pallas import _compact_routing
 
         xyz, scales, quats, opa, shs = make_scene(n=150, seed=2)
         prep = preprocess(xyz, opa, CAM, shs=shs, sh_degree=1,
                           scales=scales, quats=quats)
         cfg = CFG._replace(pallas_chunk=128)
-        group = 8
-        g_pad, g_drop, astart, tcount, dropped, order = jax.jit(
-            lambda p: _aligned_routing(p, 64, 48, cfg, group=group)
+        g_pad, g_drop, tstart, tcount, dropped, order = jax.jit(
+            lambda p: _compact_routing(p, 64, 48, cfg)
         )(prep)
-        a = np.asarray(astart)
+        a = np.asarray(tstart)
         c = np.asarray(tcount)
         n = xyz.shape[0]
+        chunk = cfg.pallas_chunk
+        k2 = cfg.stream_cap
+        k_pad = -(-k2 // chunk) * chunk
         assert int(dropped) == 0
-        # group leaders start on a chunk boundary
-        assert (a[::group] % 128 == 0).all()
-        # tiles within a group are contiguous (compact)
+        # tile segments are contiguous: positions are the sorted order
         for t in range(len(a) - 1):
-            if (t + 1) % group != 0:
-                assert a[t + 1] == a[t] + c[t]
+            assert a[t + 1] == a[t] + c[t]
         # non-sentinel scatter slots == kept keys, all ids in range
         gd = np.asarray(g_drop)
+        assert len(gd) == k_pad
         assert (gd != n).sum() == c.sum()
         assert gd.max() <= n
-        # every valid slot's gather id matches its scatter id
+        # sentinel slots are exactly the tail past the kept total
+        k_end = a[-1] + c[-1]
+        assert (gd[:k_end] != n).all() and (gd[k_end:] == n).all()
+        # gather ids cover the compact stream and match scatter ids on
+        # live slots
         gp = np.asarray(g_pad)
-        live = gd != n
-        np.testing.assert_array_equal(gp[live], gd[live])
-        # capacity formula
-        assert len(gp) == aligned_cap(12, cfg, group)
+        assert len(gp) == k2
+        np.testing.assert_array_equal(gp[:k_end], gd[:k_end])
 
 
 class TestPallasExpand:

@@ -47,33 +47,27 @@ def _gaussian_window_1d(window_size: int, sigma: float) -> tuple[float, ...]:
 
 
 def _sep_conv2d(img: jnp.ndarray, win: jnp.ndarray, window_size: int) -> jnp.ndarray:
-    """Depthwise 2D conv with an outer-product window via two 1D convs.
+    """Depthwise 2D conv with an outer-product window via two separable
+    shift-and-add passes.
 
     img: [C, H, W]; zero ('SAME') padding like torch F.conv2d(padding=ws//2).
+
+    Full f32 is mandatory, not a nicety: bf16 moments (TPU's conv default)
+    make E[x^2]-mu^2 NEGATIVE on flat image regions (true local variance
+    ~1e-6), flipping the sign of SSIM's sigma1+sigma2+C2 denominator — the
+    loss then explodes to +-100s on smooth scenes. This used to be
+    lax.conv_general_dilated at HIGHEST, but XLA lays the depthwise conv
+    out channel-minor ([H, 8, W/8, C] with C=3 in the lane dim), wasting
+    125/128 VPU lanes — ~12 ms/train-step at 1600x1066 fwd+bwd. Static
+    tap-shifted slices of a padded image are the same exact f32 math as
+    fused elementwise fmas at full lane utilization (~1 ms fwd+bwd).
     """
-    c = img.shape[0]
-    x = img[None]  # [1, C, H, W]
-    ky = win.reshape(1, 1, window_size, 1)
-    kx = win.reshape(1, 1, 1, window_size)
-    dn = jax.lax.conv_dimension_numbers(x.shape, ky.shape, ("NCHW", "OIHW", "NCHW"))
     pad = window_size // 2
-    # HIGHEST is mandatory, not a nicety: TPU's default conv precision is
-    # bf16, whose ~1e-3 moment error makes E[x^2]-mu^2 NEGATIVE on flat
-    # image regions (true local variance ~1e-6), flipping the sign of
-    # SSIM's sigma1+sigma2+C2 denominator — the loss then explodes to
-    # +-100s on smooth scenes while staying sane on textured ones (and on
-    # CPU, where convs are f32). Torch parity also requires f32 conv.
-    x = jax.lax.conv_general_dilated(
-        x, jnp.tile(ky, (c, 1, 1, 1)), (1, 1), [(pad, pad), (0, 0)],
-        dimension_numbers=dn, feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    x = jax.lax.conv_general_dilated(
-        x, jnp.tile(kx, (c, 1, 1, 1)), (1, 1), [(0, 0), (pad, pad)],
-        dimension_numbers=dn, feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return x[0]
+    c, h, w = img.shape
+    x = jnp.pad(img, ((0, 0), (pad, pad), (0, 0)))
+    x = sum(win[i] * x[:, i : i + h, :] for i in range(window_size))
+    x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)))
+    return sum(win[i] * x[:, :, i : i + w] for i in range(window_size))
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:

@@ -121,14 +121,33 @@ def _expand_kernel(
             le_next = (next_row <= kpos_col).astype(jnp.float32)
             one_hot = le - le_next                                  # 0/1
 
-            # gather all 16 attribute columns (exact f32 one-hot matmul,
-            # contracting both operands' lane dims)
-            attrs = jax.lax.dot_general(
-                win[...], one_hot,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )                                                 # [16, 128]
+            # gather all 16 attribute columns with an exact one-hot matmul.
+            # bf16x3 instead of HIGHEST: the selector is 0/1 (exact in
+            # bf16) and the window values split exactly into three bf16
+            # components covering all 24 f32 mantissa bits, so three
+            # single-pass bf16 contractions reproduce the f32 gather
+            # bit-exactly at half HIGHEST's six passes. (Rows 0/12 hold
+            # i32 bitcasts read directly from the window, never through
+            # the matmul — their bf16 splits are garbage but unused.)
+            wv = win[...]
+            w1 = wv.astype(jnp.bfloat16)
+            r1 = wv - w1.astype(jnp.float32)
+            w2 = r1.astype(jnp.bfloat16)
+            w3 = (r1 - w2.astype(jnp.float32)).astype(jnp.bfloat16)
+            oh = one_hot.astype(jnp.bfloat16)
+
+            def _sel(a):
+                # explicit DEFAULT: the package-wide highest matmul
+                # precision would stamp f32 precision onto a bf16 dot,
+                # which Mosaic rejects (see pallas_fwd._scan_mm)
+                return jax.lax.dot_general(
+                    a, oh,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+
+            attrs = _sel(w1) + _sel(w2) + _sel(w3)            # [16, 128]
 
             start_g = jnp.round(attrs[1:2, :]).astype(jnp.int32)
             count = jnp.round(attrs[2:3, :]).astype(jnp.int32)

@@ -68,6 +68,31 @@ def bench_render(xyz, shs, scales, quats, opacity, cam, cfg):
     color, dk = render_frame(xyz, shs, scales, quats, opacity)
     color.block_until_ready()
     assert int(dk) == 0, int(dk)
+    # content sanity at FULL scale: a zero-drop assert is trivially true if
+    # the expansion silently culls everything (the round-3 denormal-flush
+    # bug rendered black frames at full scale while small parity smokes
+    # passed). Assert the frame is non-trivial and the Pallas expansion's
+    # kept-key count brackets the XLA golden expansion's.
+    mean = float(jnp.mean(color))
+    assert mean > 0.01, f"full-scale render is ~black (mean {mean})"
+    from scorp_tpu.ops.raster.common import _expand_keys_core, preprocess
+    from scorp_tpu.ops.raster.pallas_expand import expand_sorted_keys
+
+    prep = jax.jit(
+        lambda *a: preprocess(a[0], a[4], cam, shs=a[1], sh_degree=3,
+                              scales=a[2], quats=a[3])
+    )(xyz, shs, scales, quats, opacity)
+    *_, kept_k, _bits = jax.jit(
+        expand_sorted_keys,
+        static_argnames=("width", "height", "k_cap", "cull"),
+    )(prep, cam.width, cam.height, cfg.max_keys, True)
+    out = jax.jit(
+        _expand_keys_core,
+        static_argnames=("width", "height", "k_cap", "cull"),
+    )(prep, cam.width, cam.height, cfg.max_keys, True)
+    kept_k, kept_x = int(kept_k), int(out[7])
+    # the kernel's exact f32 cull keeps <= the XLA bf16-tolerance cull
+    assert 0.8 * kept_x <= kept_k <= kept_x + 1000, (kept_k, kept_x)
 
     n_frames = 30
     t0 = time.perf_counter()
@@ -155,6 +180,8 @@ def bench_render2d(xyz, shs, scales, quats, opacity, cam, cfg):
     color, dk = frame(xyz, shs, s2, quats, opacity)
     color.block_until_ready()
     assert int(dk) == 0, int(dk)
+    mean = float(jnp.mean(color))
+    assert mean > 0.005, f"full-scale 2DGS render is ~black (mean {mean})"
     n_frames = 20
     t0 = time.perf_counter()
     for _ in range(n_frames):
@@ -307,6 +334,28 @@ def bench_kernel_parity():
     lx, gx = jax.jit(jax.value_and_grad(loss(rasterize_xla)))(xyz, opa)
     lp, gp = jax.jit(jax.value_and_grad(loss(rasterize_pallas)))(xyz, opa)
     diff = max(float(jnp.abs(lx - lp)), float(jnp.max(jnp.abs(gx - gp))))
+
+    # MID-SCALE forward parity (50k gaussians, 800x600): kernel bugs that
+    # only bite past a size threshold (denormal flushing, DMA misalignment,
+    # fixed-point overflow) are invisible to the tiny smoke above
+    from scorp_tpu.ops.raster.pallas_fwd import rasterize_pallas_fwd_only
+
+    sc = build_scene(n=50_000, width=800, height=600)
+    xyz_m, shs_m, scales_m, quats_m, opa_m, cam_m = sc
+    cfg_m = RasterConfig(max_keys=1 << 19, tile_list_len=2048, chunk=64,
+                         pallas_chunk=128)
+
+    def color_of(raster):
+        return jax.jit(lambda *a: raster(
+            a[0], a[4], cam_m, bg, shs=a[1], sh_degree=3,
+            scales=a[2], quats=a[3], cfg=cfg_m,
+        ).color)(xyz_m, shs_m, scales_m, quats_m, opa_m)
+
+    cx = color_of(rasterize_xla)
+    cp = color_of(rasterize_pallas_fwd_only)
+    assert float(jnp.mean(cx)) > 0.01, "mid-scale XLA render ~black"
+    diff_mid = float(jnp.max(jnp.abs(cx - cp)))
+    diff = max(diff, diff_mid)
     print(json.dumps({
         "metric": "tpu_kernel_parity",
         "value": float(f"{diff:.3g}"),

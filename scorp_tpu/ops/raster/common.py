@@ -91,7 +91,7 @@ class StreamBins(NamedTuple):
     `data` rows: 0-1 xy, 2-4 conic (A,B,C), 5-7 color, 8 opacity, 9 depth,
     10-15 zero padding (sublane tiling wants a multiple of 8 rows; Mosaic
     VMEM tiling also rules out a row-major [K, 16] layout — 16-lane minor
-    slices can't be tiled — and the narrow 11-column gather table is what
+    slices can't be tiled — and the narrow 10-column gather table is what
     keeps the per-key gather on the VMEM fast path).
     """
 
@@ -559,6 +559,7 @@ def sorted_expansion(
         pe.PALLAS_EXPAND
         and ok
         and k_cap % 128 == 0
+        and k_cap <= 1 << 24  # kernel compares key positions as f32 values
         and (interpret or _jax.default_backend() not in ("cpu",))
     )
     if use_kernel:
@@ -595,10 +596,9 @@ def bin_stream(
         prep, width, height, k_cap, cull=True, interpret=interpret
     )
 
-    # depth-ordered per-gaussian table [N, 11]: 10 data columns + source id
-    # (identity column: after the [order] permutation, row i carries order[i])
-    n = prep.xy.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    # depth-ordered per-gaussian table [N, 10]. No id column: i32 bit
+    # patterns bitcast into f32 do NOT survive TPU XLA (denormal flushing
+    # in copy fusions zeroes them, fusion/scale-dependently).
     table = fast_gather_rows(
         jnp.concatenate(
             [
@@ -607,7 +607,6 @@ def bin_stream(
                 prep.color,
                 prep.opacity[:, None],
                 prep.depth[:, None],
-                jax.lax.bitcast_convert_type(iota, jnp.float32),
             ],
             axis=1,
         ),
@@ -619,8 +618,10 @@ def bin_stream(
     # the (smaller) post-cull capacity is the compaction, for free
     sorted_tile = sorted_tile[:k2]
     g_sorted = g_sorted[:k2]
-    key_rows = fast_gather_rows(table, g_sorted)  # [K2, 11] the one big gather
-    sorted_gidx = jax.lax.bitcast_convert_type(key_rows[:, DATA_ROWS], jnp.int32)
+    key_rows = fast_gather_rows(table, g_sorted)  # [K2, 10] the one big gather
+    # source gaussian of each key (integer gathers are flush-safe); unused
+    # consumers are dead-code-eliminated under jit
+    sorted_gidx = order[g_sorted].astype(jnp.int32)
 
     data = jnp.concatenate(
         [

@@ -11,7 +11,7 @@ Division of labor:
     merged in VMEM, and each program's lowest block (the only one another
     program can share) is emitted to a side output the caller adds back
     with one tiny scatter (see pallas_bwd);
-  * the custom_vjp boundary is (per-gaussian table [N,11], integer routing,
+  * the custom_vjp boundary is (per-gaussian table [N,10], integer routing,
     bg) -> tile images. Forward: one u16 row gather builds the stream
     payload (XLA's 16-bit row gather from a VMEM-sized table runs ~3x
     faster than 32-bit; bit-exact bitcast). Backward: the Pallas backward
@@ -21,8 +21,10 @@ Division of labor:
     a 62 ms transposed-layout gather + 17 ms segment-sum with a 44 ms
     scatter (XLA scatter runs ~15 ns/row regardless of width; a gather
     from a >16 MB table cannot use the fast VMEM-staged path).
-  * integer plumbing rides through the custom_vjp boundary bitcast to f32
-    so cotangents stay well-typed.
+  * integer plumbing rides through the custom_vjp boundary as f32 VALUES
+    (exact < 2^24, statically asserted) so cotangents stay well-typed.
+    Never as bitcast bit patterns: TPU XLA flushes f32 denormals even in
+    copy fusions, silently zeroing smuggled i32 patterns.
 """
 
 from __future__ import annotations
@@ -49,11 +51,20 @@ from .xla import RasterOutput
 
 
 def _i32(x):
-    return jax.lax.bitcast_convert_type(x, jnp.int32)
+    """Decode integer routing carried through a float custom_vjp arg."""
+    return x.astype(jnp.int32)
 
 
 def _f32(x):
-    return jax.lax.bitcast_convert_type(x, jnp.float32)
+    """Encode integer routing as f32 VALUES for the custom_vjp boundary.
+
+    NOT a bitcast: TPU XLA flushes f32 denormals even in copy fusions, so
+    i32 bit patterns smuggled through f32 storage read back as 0 (measured
+    on v5e, fusion/scale-dependent). Values are exact in f32 below 2^24 —
+    every routed quantity (stream position, gaussian index, tile offset/
+    count) is bounded by a static capacity asserted at trace time.
+    """
+    return x.astype(jnp.float32)
 
 
 @functools.lru_cache(maxsize=64)
@@ -68,7 +79,7 @@ def _make_composite(width: int, height: int, cfg: RasterConfig, interpret: bool)
     k_pad = -(-k2 // chunk) * chunk
 
     def _build_stream(table, g_pad):
-        key_rows = gather_rows_u16(table, g_pad)  # [K2, 11]
+        key_rows = gather_rows_u16(table, g_pad)  # [K2, 10]
         data = jnp.concatenate(
             [
                 key_rows[:, :DATA_ROWS].T,
@@ -126,10 +137,7 @@ def _make_composite(width: int, height: int, cfg: RasterConfig, interpret: bool)
             .at[g_drop]
             .add(updates, mode="drop")
         )
-        d_table = jnp.concatenate(
-            [d_table16[:, :DATA_ROWS], jnp.zeros((n_rows, 1), jnp.float32)],
-            axis=1,
-        )
+        d_table = d_table16[:, :DATA_ROWS]
 
         # d_bg[c] = sum over pixels of T_final * g_color[c]
         t_final = 1.0 - alpha_t  # [T,1,P]
@@ -162,6 +170,8 @@ def _compact_routing(prep_sg, width, height, cfg, cull: bool = True,
     k = cfg.max_keys
     k2 = cfg.stream_cap
     k_pad = -(-k2 // chunk) * chunk
+    # routing integers ride the custom_vjp boundary as f32 VALUES (_f32)
+    assert max(k, k_pad, prep_sg.xy.shape[0] + 1) <= 1 << 24
 
     sorted_tile, g_sorted, order, total, kept = sorted_expansion(
         prep_sg, width, height, k, cull=cull, interpret=interpret
@@ -217,14 +227,11 @@ def rasterize_pallas(
     )
 
     # differentiable payload table, depth-ordered (VJP: N-sized scatter-add)
-    n = means3d.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     table = fast_gather_rows(
         jnp.concatenate(
             [
                 prep.xy, prep.conic, prep.color,
                 prep.opacity[:, None], prep.depth[:, None],
-                jax.lax.bitcast_convert_type(iota, jnp.float32),
             ],
             axis=1,
         ),

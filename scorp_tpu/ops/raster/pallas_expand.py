@@ -7,7 +7,12 @@ with one kernel that maps key slots directly to their source gaussians:
 
   * gaussians arrive depth-sorted with `starts` = exclusive prefix sums of
     their tile-rect areas (both computed in XLA: one argsort + one cumsum
-    over N);
+    over N). Starts ride the table as plain f32 VALUES (exact < 2^24;
+    clamped at 2^24, above every in-range key) — NEVER as i32 bit patterns
+    bitcast into f32: TPU XLA flushes f32 denormals even through
+    stack/concat fusions, so small-integer bit patterns read back as 0
+    (measured on v5e; scale/fusion-dependent, which is why small parity
+    smokes pass while full scenes silently break);
   * a key block [b*128, (b+1)*128) can only touch gaussians
     [g_lo[b], g_lo[b]+128] (one gaussian per key, consecutive), so a
     256-gaussian window starting at the 128-aligned floor of g_lo[b]
@@ -111,12 +116,15 @@ def _expand_kernel(
             # starts[g] <= kpos < starts[g+1]. Built transpose-free: keys
             # along sublanes ([128, 1] iota), window starts along lanes
             # (the native [1, W] row), so the compare broadcasts to
-            # [128, W] with no relayout.
-            kpos_col = b * 128 + jax.lax.broadcasted_iota(
-                jnp.int32, (128, 1), 0
-            )
-            starts_row = jax.lax.bitcast_convert_type(win[0:1, :], jnp.int32)
-            next_row = jax.lax.bitcast_convert_type(win[12:13, :], jnp.int32)
+            # [128, W] with no relayout. The compare runs on f32 VALUES
+            # (rows 0/12 hold min(starts, 2^24) — exact, and every real
+            # kpos < k_cap <= 2^24): i32 bit patterns bitcast into the f32
+            # table do not survive TPU XLA's denormal flushing.
+            kpos_col = (
+                b * 128 + jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+            ).astype(jnp.float32)
+            starts_row = win[0:1, :]
+            next_row = win[12:13, :]
             le = (starts_row <= kpos_col).astype(jnp.float32)       # [128, W]
             le_next = (next_row <= kpos_col).astype(jnp.float32)
             one_hot = le - le_next                                  # 0/1
@@ -126,9 +134,9 @@ def _expand_kernel(
             # bf16) and the window values split exactly into three bf16
             # components covering all 24 f32 mantissa bits, so three
             # single-pass bf16 contractions reproduce the f32 gather
-            # bit-exactly at half HIGHEST's six passes. (Rows 0/12 hold
-            # i32 bitcasts read directly from the window, never through
-            # the matmul — their bf16 splits are garbage but unused.)
+            # bit-exactly at half HIGHEST's six passes. (Rows 0/12 are the
+            # clamped compare values read directly from the window, never
+            # through the matmul.)
             wv = win[...]
             w1 = wv.astype(jnp.bfloat16)
             r1 = wv - w1.astype(jnp.float32)
@@ -255,6 +263,7 @@ def expand_sorted_keys(
     ok, bits_g = packable(n, num_tiles)
     assert ok, "packed sort key exceeds 31 bits — use the XLA expansion"
     assert k_cap % 128 == 0
+    assert k_cap <= 1 << 24  # f32-value key-position compares must be exact
     assert BLOCKS_PER_PROG % 2 == 0  # cross-program prefetch slot parity
 
     order = jnp.argsort(jnp.where(prep.valid, prep.depth, jnp.inf), stable=True)
@@ -290,27 +299,33 @@ def expand_sorted_keys(
     iota = jnp.arange(n, dtype=jnp.float32)
     zeros = jnp.zeros(n, jnp.float32)
     starts_next = jnp.concatenate(
-        [starts[1:], jnp.full(1, 1 << 30, jnp.int32)]
+        [starts[1:], jnp.full(1, 1 << 24, jnp.int32)]
     )
+    # compare rows 0/12 are plain f32 VALUES clamped at 2^24 (exact in f32,
+    # and > every in-range kpos since k_cap <= 2^24): gaussians whose keys
+    # all lie past the capacity can never match, which is exactly right —
+    # their keys are dropped-and-counted anyway. i32 bit patterns must NOT
+    # ride f32 storage here (TPU XLA flushes denormals in copy fusions).
+    cmp_max = jnp.int32(1 << 24)
     cols = [
-        jax.lax.bitcast_convert_type(starts, jnp.float32),   # 0 (i32 bits)
+        f(jnp.minimum(starts, cmp_max)),                      # 0 compare lo
         f(starts), f(counts), f(x0), f(y0), f(span),          # 1-5
         *cull_cols,                                           # 6-11
-        jax.lax.bitcast_convert_type(starts_next, jnp.float32),  # 12
+        f(jnp.minimum(starts_next, cmp_max)),                 # 12 compare hi
         zeros, zeros,                                         # 13-14 pad
         iota,                                                 # 15 depth rank
     ]
     table = jnp.stack(cols, axis=0)                           # [16, N]
     # pad: window reads up to N_pad lanes; pad starts with a huge value so
-    # no key maps into the pad
+    # no key maps into the pad (le and le_next both 0)
     pad = (-n) % 128 + WINDOW
-    big = jnp.full(pad, (1 << 30), jnp.int32)
+    big = jnp.full(pad, float(1 << 24), jnp.float32)
     pad_cols = jnp.zeros((EXPAND_COLS, pad), jnp.float32)
-    pad_cols = pad_cols.at[0].set(jax.lax.bitcast_convert_type(big, jnp.float32))
-    pad_cols = pad_cols.at[1].set(big.astype(jnp.float32))
+    pad_cols = pad_cols.at[0].set(big)
+    pad_cols = pad_cols.at[1].set(big)
     # starts_next of pad rows must also be "infinite" (le - le_next must be
     # 0, not -1, on pad rows)
-    pad_cols = pad_cols.at[12].set(jax.lax.bitcast_convert_type(big, jnp.float32))
+    pad_cols = pad_cols.at[12].set(big)
     table = jnp.concatenate([table, pad_cols], axis=1)        # [16, N_pad]
 
     n_blocks = k_cap // 128

@@ -731,7 +731,7 @@ def _make_surfel_composite(width: int, height: int, cfg: RasterConfig,
     k_pad = -(-k2 // chunk) * chunk
 
     def _build_stream(table, g_pad):
-        key_rows = gather_rows_u16(table, g_pad)  # [K2, 22]
+        key_rows = gather_rows_u16(table, g_pad)  # [K2, 21]
         data = jnp.concatenate(
             [
                 key_rows[:, :SURFEL_COLS].T,
@@ -786,10 +786,7 @@ def _make_surfel_composite(width: int, height: int, cfg: RasterConfig,
             .at[g_drop]
             .add(updates, mode="drop")
         )
-        d_table = jnp.concatenate(
-            [d_table24[:, :SURFEL_COLS], jnp.zeros((n_rows, 1), jnp.float32)],
-            axis=1,
-        )
+        d_table = d_table24[:, :SURFEL_COLS]
 
         t_final = 1.0 - alpha_t
         d_bg = jnp.sum(t_final * g_color_t, axis=(0, 2))
@@ -825,13 +822,13 @@ def rasterize_surfel_pallas(
     )
 
     n = means3d.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    # no id column: i32 bit patterns bitcast into f32 do not survive TPU
+    # XLA's denormal flushing (see pallas.py), and nothing consumed it
     table = fast_gather_rows(
         jnp.concatenate(
             [
                 prep.M.reshape(n, 9), prep.zrow, prep.xy,
                 prep.color, prep.opacity[:, None], prep.normal,
-                jax.lax.bitcast_convert_type(iota, jnp.float32),
             ],
             axis=1,
         ),

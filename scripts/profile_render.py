@@ -1,7 +1,9 @@
-"""Stage-cost breakdown of the render pipeline on the current backend.
+"""Stage-cost breakdown of the CURRENT eval render pipeline on the TPU.
 
-Times cumulative prefixes of the pipeline (prefix programs are realistic jits;
-stage cost = difference of adjacent prefixes). Also reports actual key counts.
+Times cumulative prefixes of the real path (preprocess -> Pallas expansion
+kernel -> packed single-operand sort -> tile bounds -> u16 stream gather ->
+composite kernel); stage cost = difference of adjacent prefixes. Prefix
+programs are realistic jits (micro-benchmarks through the axon tunnel lie).
 """
 
 import sys
@@ -28,10 +30,13 @@ if __name__ == "__main__":
     import jax.numpy as jnp
 
     from scorp_tpu.ops.raster import RasterConfig
+    from scorp_tpu.ops.raster import pallas_expand as pe
     from scorp_tpu.ops.raster.common import (
-        _expand_keys_core,
+        DATA_ROWS,
+        DATA_ROWS_PADDED,
         _tile_bounds,
         bin_stream,
+        fast_gather_rows,
         grid_dims,
         preprocess,
     )
@@ -43,6 +48,7 @@ if __name__ == "__main__":
     bg = jnp.zeros(3, jnp.float32)
     w, h = cam.width, cam.height
     tiles_x, tiles_y = grid_dims(w, h)
+    num_tiles = tiles_x * tiles_y
 
     def prep_fn(xyz, shs, scales, quats, opacity):
         return preprocess(
@@ -51,12 +57,13 @@ if __name__ == "__main__":
 
     def expand_fn(xyz, shs, scales, quats, opacity):
         prep = prep_fn(xyz, shs, scales, quats, opacity)
-        return _expand_keys_core(prep, w, h, cfg.max_keys)
+        return pe.expand_sorted_keys(prep, w, h, cfg.max_keys, cull=True)
 
     def sort_fn(xyz, shs, scales, quats, opacity):
         prep = prep_fn(xyz, shs, scales, quats, opacity)
-        tile, g_of_k, *_ = _expand_keys_core(prep, w, h, cfg.max_keys)
-        return jax.lax.sort((tile, jnp.maximum(g_of_k, 0)), num_keys=1, is_stable=True)
+        packed, order, total, kept, bits_g = pe.expand_sorted_keys(
+            prep, w, h, cfg.max_keys, cull=True)
+        return jax.lax.sort(packed, is_stable=False), order
 
     def bins_fn(xyz, shs, scales, quats, opacity):
         prep = prep_fn(xyz, shs, scales, quats, opacity)
@@ -70,8 +77,8 @@ if __name__ == "__main__":
     args = (xyz, shs, scales, quats, opacity)
     stages = [
         ("preprocess", jax.jit(prep_fn)),
-        ("`+expand", jax.jit(expand_fn)),
-        ("`+sort", jax.jit(sort_fn)),
+        ("`+expand kernel", jax.jit(expand_fn)),
+        ("`+packed sort", jax.jit(sort_fn)),
         ("`+gather+bounds (bin_stream)", jax.jit(bins_fn)),
         ("`+composite (full)", jax.jit(full_fn)),
     ]
@@ -84,21 +91,16 @@ if __name__ == "__main__":
     bins = jax.jit(bins_fn)(*args)
     total_keys = int(jnp.sum(bins.tile_count))
     counts = np.asarray(bins.tile_count)
-    print(f"total keys: {total_keys}  (cap {cfg.max_keys})")
-    print(f"tiles: {tiles_x}x{tiles_y}={tiles_x*tiles_y}, "
+    print(f"kept keys: {total_keys}  (stream cap {cfg.stream_cap}, "
+          f"expansion cap {cfg.max_keys})")
+    print(f"tiles: {tiles_x}x{tiles_y}={num_tiles}, "
           f"keys/tile mean {counts.mean():.0f} max {counts.max()} "
           f"p99 {np.percentile(counts, 99):.0f}")
     prep = jax.jit(prep_fn)(*args)
     print(f"valid gaussians: {int(jnp.sum(prep.valid))} / {xyz.shape[0]}")
 
-    # ellipse-tile cull ratio on this scene (now integrated in the expansion)
-    def cull_fn(xyz, shs, scales, quats, opacity):
-        prep = prep_fn(xyz, shs, scales, quats, opacity)
-        out = _expand_keys_core(prep, w, h, cfg.max_keys, cull=True)
-        return out[7], jnp.minimum(out[3], cfg.max_keys)
-
-    kept, tot = jax.jit(cull_fn)(*args)
-    print(f"ellipse-tile cull: keep {int(kept)} / {int(tot)} "
-          f"({100.0 * int(kept) / max(int(tot), 1):.1f}%)")
+    _, _, total, kept, _ = jax.jit(expand_fn)(*args)
+    print(f"ellipse-tile cull: keep {int(kept)} / {int(total)} "
+          f"({100.0 * int(kept) / max(int(total), 1):.1f}%)")
     n_chunks = np.ceil(((np.asarray(bins.tile_start) % 128) + counts) / cfg.pallas_chunk)
     print(f"fwd chunk iterations: {int(n_chunks.sum())} (chunk={cfg.pallas_chunk})")

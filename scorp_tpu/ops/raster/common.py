@@ -120,6 +120,26 @@ def gather_rows_u16(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(rows.reshape(-1, c, 2), jnp.float32)
 
 
+def gather_rows_u16_t(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Exact f32 row gather returning the TRANSPOSED [C, K] result.
+
+    Same u16 fast path as gather_rows_u16, but the u16 table is laid out as
+    [low halves | high halves] column blocks instead of interleaved pairs:
+    the post-gather recombination becomes two column slices + one shift-or
+    (which XLA fuses with the transpose), instead of the [K, C, 2]
+    de-interleave reshape it otherwise materializes (~1.2 ms of pure data
+    shuffling at 1.5M keys on v5e). Bit-exact; no gradient.
+    """
+    r, c = table.shape
+    t16 = jax.lax.bitcast_convert_type(table, jnp.uint16)  # [r, c, 2] lo/hi
+    t2 = jnp.concatenate([t16[:, :, 0], t16[:, :, 1]], axis=1)  # [r, 2c]
+    rows = t2[idx]  # [K, 2c] the one per-key gather
+    u = rows[:, :c].astype(jnp.uint32) | (
+        rows[:, c:].astype(jnp.uint32) << 16
+    )
+    return jax.lax.bitcast_convert_type(u, jnp.float32).T  # [c, K]
+
+
 @jax.custom_vjp
 def fast_gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Differentiable row gather table[idx] with the u16 fast path.
@@ -341,8 +361,22 @@ def _bits_bf16(b: jnp.ndarray) -> jnp.ndarray:
     ).astype(jnp.float32)
 
 
+def default_cull_geo(prep: Preprocessed) -> jnp.ndarray:
+    """[N, 6] (cx, cy, A, B, C, t2): the 3DGS alpha>=1/255 screen ellipse.
+
+    q(d) = A dx^2 + 2B dx dy + C dy^2 = -2*power <= t2 = 2 log(255 opa).
+    """
+    t2 = jnp.maximum(
+        2.0 * jnp.log(jnp.maximum(prep.opacity, 1e-12) * 255.0), 0.0
+    )
+    return jax.lax.stop_gradient(
+        jnp.concatenate([prep.xy, prep.conic, t2[:, None]], axis=1)
+    )
+
+
 def _expand_keys_core(
-    prep: Preprocessed, width: int, height: int, k_cap: int, cull: bool = False
+    prep: Preprocessed, width: int, height: int, k_cap: int, cull: bool = False,
+    geo1: jnp.ndarray | None = None, geo2: jnp.ndarray | None = None,
 ):
     """Depth-presorted key expansion via ONE scatter + prefix sums.
 
@@ -389,24 +423,17 @@ def _expand_keys_core(
 
     packed = (x0 << 20) | (y0 << 10) | span
     cols = [jnp.ones_like(packed), _diff(starts.astype(jnp.int32)), _diff(packed)]
-    if cull:
-        # per-gaussian screen geometry, packed to 3 i32: center as rect-
-        # relative fixed point (1/32 px), conic A/B/C + alpha threshold bf16
-        geo = gather_rows_u16(
-            jax.lax.stop_gradient(
-                jnp.concatenate(
-                    [prep.xy, prep.conic, prep.opacity[:, None]], axis=1
-                )
-            ),
-            order,
-        )
-        gx_rel = geo[:, 0] - x0.astype(jnp.float32) * TILE
-        gy_rel = geo[:, 1] - y0.astype(jnp.float32) * TILE
+
+    def _geo_cols(geo):
+        # per-gaussian screen ellipse (cx, cy, A, B, C, t2), packed to 3
+        # i32: center as rect-relative fixed point (1/32 px), conic A/B/C +
+        # threshold bf16
+        g = gather_rows_u16(jax.lax.stop_gradient(geo), order)
+        gx_rel = g[:, 0] - x0.astype(jnp.float32) * TILE
+        gy_rel = g[:, 1] - y0.astype(jnp.float32) * TILE
         gx_fp = jnp.clip(jnp.round(gx_rel * 32.0), 0, 65535).astype(jnp.int32)
         gy_fp = jnp.clip(jnp.round(gy_rel * 32.0), 0, 65535).astype(jnp.int32)
-        t2 = jnp.maximum(
-            2.0 * jnp.log(jnp.maximum(geo[:, 5], 1e-12) * 255.0), 0.0
-        )
+        t2 = g[:, 5]
         # the u16 fixed point covers 2048 px of rect-relative center; beyond
         # it the clamp can move the center AWAY from mid-rect tiles (not
         # conservative) — force-keep such keys via an infinite threshold.
@@ -414,12 +441,17 @@ def _expand_keys_core(
         # tiles, which is conservative.)
         overflow = (gx_rel > 2047.0) | (gy_rel > 2047.0)
         t2 = jnp.where(overflow, jnp.float32(jnp.inf), t2)
-        cols += [
+        return [
             _diff((gx_fp << 16) | gy_fp),
-            _diff((_bf16_bits(geo[:, 2]) << 16) | _bf16_bits(geo[:, 3])),
-            _diff((_bf16_bits(geo[:, 4]) << 16) | _bf16_bits(t2)),
+            _diff((_bf16_bits(g[:, 2]) << 16) | _bf16_bits(g[:, 3])),
+            _diff((_bf16_bits(g[:, 4]) << 16) | _bf16_bits(t2)),
         ]
-    upd = jnp.stack(cols, axis=1)  # [N, 3|6]
+
+    if cull:
+        cols += _geo_cols(geo1 if geo1 is not None else default_cull_geo(prep))
+        if geo2 is not None:
+            cols += _geo_cols(geo2)
+    upd = jnp.stack(cols, axis=1)  # [N, 3|6|9]
     buf = (
         jnp.zeros((k_cap, upd.shape[1]), jnp.int32)
         .at[pos]
@@ -442,60 +474,68 @@ def _expand_keys_core(
     in_range = (ks < jnp.minimum(total, k_cap)) & (g_of_k >= 0)
 
     if cull:
-        gx = ((cum[3] >> 16) & 0xFFFF).astype(jnp.float32) * (1.0 / 32.0)
-        gy = (cum[3] & 0xFFFF).astype(jnp.float32) * (1.0 / 32.0)
-        a = _bits_bf16(cum[4] >> 16)
-        b = _bits_bf16(cum[4])
-        c = _bits_bf16(cum[5] >> 16)
-        t2k = _bits_bf16(cum[5])
-        # tile pixel box relative to the rect origin (where gx/gy live)
+        # tile pixel box relative to the rect origin (where centers live)
         fx = ((ktx - kx0) * TILE).astype(jnp.float32)
         fy = ((kty - ky0) * TILE).astype(jnp.float32)
-        dxlo, dxhi = fx - gx, fx + (TILE - 1) - gx
-        dylo, dyhi = fy - gy, fy + (TILE - 1) - gy
-        inside = (dxlo <= 0.0) & (0.0 <= dxhi) & (dylo <= 0.0) & (0.0 <= dyhi)
-        sa = jnp.maximum(a, 1e-12)
-        sc = jnp.maximum(c, 1e-12)
 
-        # each edge evaluation returns (q, qabs) at the same clamped point:
-        # qabs = |A|dx^2 + 2|B dx dy| + |C|dy^2 tracks the cancellation
-        # magnitude of the three bf16 terms, so the keep tolerance can scale
-        # with the actual packing error (for large rotated anisotropic
-        # gaussians the terms reach 1e4-1e5 while q stays small — a fixed
-        # tolerance is NOT conservative there)
-        def q_edge_x(e):
-            dy = jnp.clip(-b * e / sc, dylo, dyhi)
-            cross = b * e * dy
-            q = a * e * e + 2.0 * cross + c * dy * dy
-            qa = sa * e * e + 2.0 * jnp.abs(cross) + sc * dy * dy
-            return q, qa
+        def _keep(c3, c4, c5):
+            gx = ((c3 >> 16) & 0xFFFF).astype(jnp.float32) * (1.0 / 32.0)
+            gy = (c3 & 0xFFFF).astype(jnp.float32) * (1.0 / 32.0)
+            a = _bits_bf16(c4 >> 16)
+            b = _bits_bf16(c4)
+            c = _bits_bf16(c5 >> 16)
+            t2k = _bits_bf16(c5)
+            dxlo, dxhi = fx - gx, fx + (TILE - 1) - gx
+            dylo, dyhi = fy - gy, fy + (TILE - 1) - gy
+            inside = (dxlo <= 0.0) & (0.0 <= dxhi) & (dylo <= 0.0) & (0.0 <= dyhi)
+            sa = jnp.maximum(a, 1e-12)
+            sc = jnp.maximum(c, 1e-12)
 
-        def q_edge_y(f):
-            dx = jnp.clip(-b * f / sa, dxlo, dxhi)
-            cross = b * f * dx
-            q = c * f * f + 2.0 * cross + a * dx * dx
-            qa = sc * f * f + 2.0 * jnp.abs(cross) + sa * dx * dx
-            return q, qa
+            # each edge evaluation returns (q, qabs) at the same clamped
+            # point: qabs = |A|dx^2 + 2|B dx dy| + |C|dy^2 tracks the
+            # cancellation magnitude of the three bf16 terms, so the keep
+            # tolerance can scale with the actual packing error (for large
+            # rotated anisotropic gaussians the terms reach 1e4-1e5 while q
+            # stays small — a fixed tolerance is NOT conservative there)
+            def q_edge_x(e):
+                dy = jnp.clip(-b * e / sc, dylo, dyhi)
+                cross = b * e * dy
+                q = a * e * e + 2.0 * cross + c * dy * dy
+                qa = sa * e * e + 2.0 * jnp.abs(cross) + sc * dy * dy
+                return q, qa
 
-        def _min_pair(p1, p2):
-            q1, a1 = p1
-            q2, a2 = p2
-            take1 = q1 <= q2
-            return jnp.where(take1, q1, q2), jnp.where(take1, a1, a2)
+            def q_edge_y(f):
+                dx = jnp.clip(-b * f / sa, dxlo, dxhi)
+                cross = b * f * dx
+                q = c * f * f + 2.0 * cross + a * dx * dx
+                qa = sc * f * f + 2.0 * jnp.abs(cross) + sa * dx * dx
+                return q, qa
 
-        q_min, qabs = _min_pair(
-            _min_pair(q_edge_x(dxlo), q_edge_x(dxhi)),
-            _min_pair(q_edge_y(dylo), q_edge_y(dyhi)),
-        )
-        q_min = jnp.where(inside, 0.0, q_min)
-        qabs = jnp.where(inside, 0.0, qabs)
-        pd = (a > 0.0) & (c > 0.0) & (a * c - b * b > 0.0)
-        # tolerance: 1.02*t2k covers the bf16 rounding of the threshold
-        # itself; 0.01*qabs covers bf16 conic rounding (2^-8 rel per
-        # coefficient) through the cancelling sum; the 0.9 constant covers
-        # the 1/32 px center quantization in the |d| < 7 px regime (beyond
-        # that the qabs term dominates the quantization error too)
-        keep = ~pd | (q_min <= t2k * 1.02 + 0.01 * qabs + 0.9)
+            def _min_pair(p1, p2):
+                q1, a1 = p1
+                q2, a2 = p2
+                take1 = q1 <= q2
+                return jnp.where(take1, q1, q2), jnp.where(take1, a1, a2)
+
+            q_min, qabs = _min_pair(
+                _min_pair(q_edge_x(dxlo), q_edge_x(dxhi)),
+                _min_pair(q_edge_y(dylo), q_edge_y(dyhi)),
+            )
+            q_min = jnp.where(inside, 0.0, q_min)
+            qabs = jnp.where(inside, 0.0, qabs)
+            pd = (a > 0.0) & (c > 0.0) & (a * c - b * b > 0.0)
+            # tolerance: 1.02*t2k covers the bf16 rounding of the threshold
+            # itself; 0.01*qabs covers bf16 conic rounding (2^-8 rel per
+            # coefficient) through the cancelling sum; the 0.9 constant
+            # covers the 1/32 px center quantization in the |d| < 7 px
+            # regime (beyond that the qabs term dominates the quantization
+            # error too)
+            return ~pd | (q_min <= jnp.abs(t2k) * 0.02 + t2k + 0.01 * qabs + 0.9)
+
+        keep = _keep(cum[3], cum[4], cum[5])
+        if geo2 is not None:
+            # union: a key contributes iff EITHER ellipse admits it
+            keep = keep | _keep(cum[6], cum[7], cum[8])
         in_range = in_range & keep
 
     tile = jnp.where(in_range, tile, num_tiles)
@@ -529,8 +569,15 @@ def _tile_sort(tile, g_of_k, num_tiles: int, n: int):
 
 
 def _tile_bounds(sorted_tile: jnp.ndarray, num_tiles: int):
-    tid_range = jnp.arange(num_tiles + 1, dtype=jnp.int32)
-    bounds = jnp.searchsorted(sorted_tile, tid_range, side="left").astype(jnp.int32)
+    # scan_unrolled: the default 'scan' lowers the ~21-step binary search to
+    # an XLA while loop whose per-iteration dispatch (~90 us) dominates the
+    # actual gathers — unrolling cut the tile-bounds stage ~2x on v5e
+    bounds = jnp.searchsorted(
+        sorted_tile,
+        jnp.arange(num_tiles + 1, dtype=jnp.int32),
+        side="left",
+        method="scan_unrolled",
+    ).astype(jnp.int32)
     return bounds[:-1], bounds[1:] - bounds[:-1]
 
 
@@ -541,11 +588,17 @@ def sorted_expansion(
     k_cap: int,
     cull: bool,
     interpret: bool = False,
+    geo1: jnp.ndarray | None = None,
+    geo2: jnp.ndarray | None = None,
 ):
     """Expansion + stable tile sort -> (sorted_tile, g_sorted [K], order,
     total, kept). Uses the Pallas expansion kernel (pallas_expand) when the
     packed sort key fits and a TPU (or interpret mode) is available; the
     XLA scatter+cumsum expansion otherwise.
+
+    geo1/geo2: optional explicit cull ellipses [N, 6] (cx, cy, A, B, C,
+    t2); geo1 defaults to the 3DGS conic (default_cull_geo), geo2 adds a
+    second ellipse OR-ed with the first (the surfel low-pass circle).
     """
     import jax as _jax
 
@@ -564,12 +617,13 @@ def sorted_expansion(
     )
     if use_kernel:
         packed, order, total, kept, bits_g = pe.expand_sorted_keys(
-            prep, width, height, k_cap, cull=cull, interpret=interpret
+            prep, width, height, k_cap, cull=cull, interpret=interpret,
+            geo1=geo1, geo2=geo2,
         )
         s = jax.lax.sort(packed, is_stable=False)
         return s >> bits_g, s & ((1 << bits_g) - 1), order, total, kept
     tile, g_of_k, order, total, _, _, _, kept = _expand_keys_core(
-        prep, width, height, k_cap, cull=cull
+        prep, width, height, k_cap, cull=cull, geo1=geo1, geo2=geo2
     )
     sorted_tile, g_sorted = _tile_sort(tile, g_of_k, num_tiles, n)
     return sorted_tile, g_sorted, order, total, kept
@@ -618,14 +672,15 @@ def bin_stream(
     # the (smaller) post-cull capacity is the compaction, for free
     sorted_tile = sorted_tile[:k2]
     g_sorted = g_sorted[:k2]
-    key_rows = fast_gather_rows(table, g_sorted)  # [K2, 10] the one big gather
+    # the one big per-key gather, emitted directly in stream-transposed form
+    key_cols = gather_rows_u16_t(table, g_sorted)  # [10, K2]
     # source gaussian of each key (integer gathers are flush-safe); unused
     # consumers are dead-code-eliminated under jit
     sorted_gidx = order[g_sorted].astype(jnp.int32)
 
     data = jnp.concatenate(
         [
-            key_rows[:, :DATA_ROWS].T,
+            key_cols,
             jnp.zeros((DATA_ROWS_PADDED - DATA_ROWS, k2), jnp.float32),
         ],
         axis=0,

@@ -41,6 +41,7 @@ from .common import (
     _tile_bounds,
     fast_gather_rows,
     gather_rows_u16,
+    gather_rows_u16_t,
     grid_dims,
     preprocess,
     sorted_expansion,
@@ -79,10 +80,10 @@ def _make_composite(width: int, height: int, cfg: RasterConfig, interpret: bool)
     k_pad = -(-k2 // chunk) * chunk
 
     def _build_stream(table, g_pad):
-        key_rows = gather_rows_u16(table, g_pad)  # [K2, 10]
+        key_cols = gather_rows_u16_t(table, g_pad)  # [10, K2] transposed
         data = jnp.concatenate(
             [
-                key_rows[:, :DATA_ROWS].T,
+                key_cols,
                 jnp.zeros((DATA_ROWS_PADDED - DATA_ROWS, k2), jnp.float32),
             ],
             axis=0,
@@ -152,7 +153,7 @@ def _make_composite(width: int, height: int, cfg: RasterConfig, interpret: bool)
 
 
 def _compact_routing(prep_sg, width, height, cfg, cull: bool = True,
-                     interpret: bool = False):
+                     interpret: bool = False, geo1=None, geo2=None):
     """Integer routing for the COMPACT training stream.
 
     Sorted key positions are stream positions: no alignment padding and no
@@ -174,7 +175,8 @@ def _compact_routing(prep_sg, width, height, cfg, cull: bool = True,
     assert max(k, k_pad, prep_sg.xy.shape[0] + 1) <= 1 << 24
 
     sorted_tile, g_sorted, order, total, kept = sorted_expansion(
-        prep_sg, width, height, k, cull=cull, interpret=interpret
+        prep_sg, width, height, k, cull=cull, interpret=interpret,
+        geo1=geo1, geo2=geo2,
     )
     # culled/out-of-range keys sorted past the end; the slice compacts
     sorted_tile = sorted_tile[:k2]

@@ -49,9 +49,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .common import TILE, Preprocessed, grid_dims
 
-EXPAND_COLS = 16   # table columns (12 used + pad to sublane multiple)
 WINDOW = 256       # gaussians per block window (>= 128-aligned floor + 129)
-BLOCKS_PER_PROG = 16
+BLOCKS_PER_PROG = 32
+# window DMA slots: per-block compute is ~100-200 ns while an HBM window
+# fetch costs ~0.5-1 us, so a 2-slot pipeline stalls on latency every
+# block; 4 slots give each fetch ~3 compute bodies of lookahead
+DMA_DEPTH = 4
 PALLAS_EXPAND = True  # master switch (XLA core path when off)
 
 
@@ -62,15 +65,16 @@ def packable(n: int, num_tiles: int) -> tuple[bool, int]:
 
 def _expand_kernel(
     g_lo_ref,          # [n_blocks_pad] i32 scalar prefetch
-    table_ref,         # [16, N_pad] f32 ANY (starts bitcast i32 in row 0)
+    table_ref,         # [cols, N_pad] f32 ANY
     out_ref,           # [BPP, 128] i32 VMEM block
-    win_vmem,          # [2, 16, WINDOW] f32
-    sem,               # [2]
+    win_vmem,          # [DMA_DEPTH, cols, WINDOW] f32
+    sem,               # [DMA_DEPTH]
     *,
     tiles_x: int,
     num_tiles: int,
     bits_g: int,
     cull: bool,
+    cull2: bool,       # second cull ellipse in rows 16-21 (surfel union)
     blocks: int,       # blocks handled by this program
     n_blocks: int,     # total live blocks (rest of the grid writes sentinel)
 ):
@@ -87,29 +91,32 @@ def _expand_kernel(
         )
 
     b0 = pid * blocks
+    depth = DMA_DEPTH
+    look = depth - 1
 
-    # Upfront prefetch of the program's first window — pid 0 ONLY. Every
-    # later program's block-0 copy is started by the PREVIOUS program's
-    # last loop iteration (guard b+1 < n_blocks ≡ this wait's b < n_blocks,
-    # slot (blocks % 2) == 0 since blocks is even). Starting it here too
-    # would enqueue the same DMA twice against one wait, leaving the
-    # semaphore non-zero at kernel exit -> TPU abort (interpret mode does
-    # not check semaphore drainage, so only the device catches it).
-    @pl.when((pid == 0) & (b0 < n_blocks))
-    def _():
-        _copy(b0, 0).start()
+    # Pipeline priming — pid 0 ONLY starts the first `look` windows. Every
+    # later program's first windows were started by its PREDECESSOR's last
+    # `look` iterations (slot c % depth is globally consistent because
+    # blocks % depth == 0). Priming in every program would enqueue the same
+    # DMA twice against one wait, leaving the semaphore non-zero at kernel
+    # exit -> TPU abort (interpret mode does not check semaphore drainage,
+    # so only the device catches it).
+    for j in range(look):
+        @pl.when((pid == 0) & (j < n_blocks))
+        def _(j=j):
+            _copy(b0 + j, j % depth).start()
 
     for i in range(blocks):
         b = b0 + i
 
-        @pl.when(b + 1 < n_blocks)
+        @pl.when(b + look < n_blocks)
         def _(b=b, i=i):
-            _copy(b + 1, (i + 1) % 2).start()
+            _copy(b + look, (i + look) % depth).start()
 
         @pl.when(b < n_blocks)
         def _(b=b, i=i):
-            _copy(b, i % 2).wait()
-            win = win_vmem.at[i % 2]
+            _copy(b, i % depth).wait()
+            win = win_vmem.at[i % depth]
             kpos = b * 128 + lane128                         # [1, 128]
 
             # one-hot selector: gaussian g owns key iff
@@ -183,50 +190,60 @@ def _expand_kernel(
             live = (local >= 0) & (local < count)
 
             if cull:
-                gx = attrs[6:7, :]
-                gy = attrs[7:8, :]
-                ca = attrs[8:9, :]
-                cb = attrs[9:10, :]
-                cc = attrs[10:11, :]
-                t2 = attrs[11:12, :]
                 fx = ((ktx - x0) * TILE).astype(jnp.float32)
                 fy = ((kty - y0) * TILE).astype(jnp.float32)
-                dxlo, dxhi = fx - gx, fx + (TILE - 1) - gx
-                dylo, dyhi = fy - gy, fy + (TILE - 1) - gy
-                inside = (dxlo <= 0.0) & (0.0 <= dxhi) & (dylo <= 0.0) & (0.0 <= dyhi)
-                sa = jnp.maximum(ca, 1e-12)
-                sc = jnp.maximum(cc, 1e-12)
 
-                def q_edge_x(e):
-                    dy = jnp.clip(-cb * e / sc, dylo, dyhi)
-                    cross = cb * e * dy
-                    q = ca * e * e + 2.0 * cross + cc * dy * dy
-                    qa = sa * e * e + 2.0 * jnp.abs(cross) + sc * dy * dy
-                    return q, qa
+                def _keep(row0):
+                    gx = attrs[row0 : row0 + 1, :]
+                    gy = attrs[row0 + 1 : row0 + 2, :]
+                    ca = attrs[row0 + 2 : row0 + 3, :]
+                    cb = attrs[row0 + 3 : row0 + 4, :]
+                    cc = attrs[row0 + 4 : row0 + 5, :]
+                    t2 = attrs[row0 + 5 : row0 + 6, :]
+                    dxlo, dxhi = fx - gx, fx + (TILE - 1) - gx
+                    dylo, dyhi = fy - gy, fy + (TILE - 1) - gy
+                    inside = (
+                        (dxlo <= 0.0) & (0.0 <= dxhi)
+                        & (dylo <= 0.0) & (0.0 <= dyhi)
+                    )
+                    sa = jnp.maximum(ca, 1e-12)
+                    sc = jnp.maximum(cc, 1e-12)
 
-                def q_edge_y(f):
-                    dx = jnp.clip(-cb * f / sa, dxlo, dxhi)
-                    cross = cb * f * dx
-                    q = cc * f * f + 2.0 * cross + ca * dx * dx
-                    qa = sc * f * f + 2.0 * jnp.abs(cross) + sa * dx * dx
-                    return q, qa
+                    def q_edge_x(e):
+                        dy = jnp.clip(-cb * e / sc, dylo, dyhi)
+                        cross = cb * e * dy
+                        q = ca * e * e + 2.0 * cross + cc * dy * dy
+                        qa = sa * e * e + 2.0 * jnp.abs(cross) + sc * dy * dy
+                        return q, qa
 
-                def _min_pair(p1, p2):
-                    q1, a1 = p1
-                    q2, a2 = p2
-                    take1 = q1 <= q2
-                    return jnp.where(take1, q1, q2), jnp.where(take1, a1, a2)
+                    def q_edge_y(f):
+                        dx = jnp.clip(-cb * f / sa, dxlo, dxhi)
+                        cross = cb * f * dx
+                        q = cc * f * f + 2.0 * cross + ca * dx * dx
+                        qa = sc * f * f + 2.0 * jnp.abs(cross) + sa * dx * dx
+                        return q, qa
 
-                q_min, qabs = _min_pair(
-                    _min_pair(q_edge_x(dxlo), q_edge_x(dxhi)),
-                    _min_pair(q_edge_y(dylo), q_edge_y(dyhi)),
-                )
-                q_min = jnp.where(inside, 0.0, q_min)
-                qabs = jnp.where(inside, 0.0, qabs)
-                pd = (ca > 0.0) & (cc > 0.0) & (ca * cc - cb * cb > 0.0)
-                # f32 tolerance: the compositor evaluates the same form in
-                # f32 with different association — a few ulps of qabs
-                keep = ~pd | (q_min <= t2 + 1e-5 * qabs + 1e-3)
+                    def _min_pair(p1, p2):
+                        q1, a1 = p1
+                        q2, a2 = p2
+                        take1 = q1 <= q2
+                        return jnp.where(take1, q1, q2), jnp.where(take1, a1, a2)
+
+                    q_min, qabs = _min_pair(
+                        _min_pair(q_edge_x(dxlo), q_edge_x(dxhi)),
+                        _min_pair(q_edge_y(dylo), q_edge_y(dyhi)),
+                    )
+                    q_min = jnp.where(inside, 0.0, q_min)
+                    qabs = jnp.where(inside, 0.0, qabs)
+                    pd = (ca > 0.0) & (cc > 0.0) & (ca * cc - cb * cb > 0.0)
+                    # f32 tolerance: the compositor evaluates the same form
+                    # in f32 with different association — a few ulps of qabs
+                    return ~pd | (q_min <= t2 + 1e-5 * qabs + 1e-3)
+
+                keep = _keep(6)
+                if cull2:
+                    # union: a key contributes iff EITHER ellipse admits it
+                    keep = keep | _keep(16)
                 live = live & keep
 
             packed = jnp.where(
@@ -252,10 +269,16 @@ def expand_sorted_keys(
     k_cap: int,
     cull: bool = True,
     interpret: bool = False,
+    geo1: jnp.ndarray | None = None,
+    geo2: jnp.ndarray | None = None,
 ):
     """Depth-sort + expand + cull + pack, returning the UNSORTED packed key
     array [k_cap] plus (order [N], total, kept, bits_g). Callers sort it
     with one lax.sort; tile = key >> bits_g, depth-rank = key & mask.
+
+    geo1/geo2 [N, 6] (cx, cy, A, B, C, t2): explicit cull ellipses; geo1
+    defaults to the 3DGS conic, geo2 (when given) widens the table to 24
+    rows and keeps a key if EITHER ellipse admits it (surfel union).
     """
     tiles_x, tiles_y = grid_dims(width, height)
     num_tiles = tiles_x * tiles_y
@@ -264,7 +287,9 @@ def expand_sorted_keys(
     assert ok, "packed sort key exceeds 31 bits — use the XLA expansion"
     assert k_cap % 128 == 0
     assert k_cap <= 1 << 24  # f32-value key-position compares must be exact
-    assert BLOCKS_PER_PROG % 2 == 0  # cross-program prefetch slot parity
+    # slot c % DMA_DEPTH must be globally consistent across program
+    # boundaries for the cross-program prefetch handoff
+    assert BLOCKS_PER_PROG % DMA_DEPTH == 0
 
     order = jnp.argsort(jnp.where(prep.valid, prep.depth, jnp.inf), stable=True)
     rect = prep.rect.astype(jnp.uint16)[order].astype(jnp.int32)
@@ -274,23 +299,23 @@ def expand_sorted_keys(
     starts = jnp.cumsum(counts) - counts
     total = starts[-1] + counts[-1]
 
-    if cull:
+    def _geo_rows(geo):
         from .common import gather_rows_u16
 
-        geo = gather_rows_u16(
-            jax.lax.stop_gradient(
-                jnp.concatenate(
-                    [prep.xy, prep.conic, prep.opacity[:, None]], axis=1
-                )
-            ),
-            order,
-        )
-        gx_rel = geo[:, 0] - x0.astype(jnp.float32) * TILE
-        gy_rel = geo[:, 1] - y0.astype(jnp.float32) * TILE
-        t2 = jnp.maximum(
-            2.0 * jnp.log(jnp.maximum(geo[:, 5], 1e-12) * 255.0), 0.0
-        )
-        cull_cols = [gx_rel, gy_rel, geo[:, 2], geo[:, 3], geo[:, 4], t2]
+        g = gather_rows_u16(jax.lax.stop_gradient(geo), order)
+        gx_rel = g[:, 0] - x0.astype(jnp.float32) * TILE
+        gy_rel = g[:, 1] - y0.astype(jnp.float32) * TILE
+        # clamp the threshold FINITE: inf would split to NaN residuals in
+        # the kernel's bf16x3 one-hot gather (inf - inf), and NaN times a
+        # zero selector still poisons the whole contraction
+        t2 = jnp.minimum(g[:, 5], 1e30)
+        return [gx_rel, gy_rel, g[:, 2], g[:, 3], g[:, 4], t2]
+
+    cull2 = geo2 is not None
+    if cull:
+        from .common import default_cull_geo
+
+        cull_cols = _geo_rows(geo1 if geo1 is not None else default_cull_geo(prep))
     else:
         zeros = jnp.zeros(n, jnp.float32)
         cull_cols = [zeros] * 6
@@ -315,26 +340,34 @@ def expand_sorted_keys(
         zeros, zeros,                                         # 13-14 pad
         iota,                                                 # 15 depth rank
     ]
-    table = jnp.stack(cols, axis=0)                           # [16, N]
+    if cull2:
+        cols += [*_geo_rows(geo2), zeros, zeros]              # 16-21 + pad
+    n_cols = len(cols)  # 16 or 24 (sublane-tile multiple either way)
+    assert n_cols % 8 == 0
+    table = jnp.stack(cols, axis=0)                           # [cols, N]
     # pad: window reads up to N_pad lanes; pad starts with a huge value so
     # no key maps into the pad (le and le_next both 0)
     pad = (-n) % 128 + WINDOW
     big = jnp.full(pad, float(1 << 24), jnp.float32)
-    pad_cols = jnp.zeros((EXPAND_COLS, pad), jnp.float32)
+    pad_cols = jnp.zeros((n_cols, pad), jnp.float32)
     pad_cols = pad_cols.at[0].set(big)
     pad_cols = pad_cols.at[1].set(big)
     # starts_next of pad rows must also be "infinite" (le - le_next must be
     # 0, not -1, on pad rows)
     pad_cols = pad_cols.at[12].set(big)
-    table = jnp.concatenate([table, pad_cols], axis=1)        # [16, N_pad]
+    table = jnp.concatenate([table, pad_cols], axis=1)        # [cols, N_pad]
 
     n_blocks = k_cap // 128
     bpp = BLOCKS_PER_PROG
     n_progs = -(-n_blocks // bpp)
     blocks_pad = n_progs * bpp
+    # method='sort': both operands are already sorted, so the concat-sort
+    # is a merge; beats the 21-step binary search (21 dispatches of random
+    # HBM gathers, ~2.1 ms at 250k/14336 on v5e) by ~4x
     g_lo = (
         jnp.searchsorted(
-            starts, jnp.arange(n_blocks, dtype=jnp.int32) * 128, side="right"
+            starts, jnp.arange(n_blocks, dtype=jnp.int32) * 128, side="right",
+            method="sort",
         ).astype(jnp.int32)
         - 1
     )
@@ -349,13 +382,13 @@ def expand_sorted_keys(
             pl.BlockSpec((bpp, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, EXPAND_COLS, WINDOW), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((DMA_DEPTH, n_cols, WINDOW), jnp.float32),
+            pltpu.SemaphoreType.DMA((DMA_DEPTH,)),
         ],
     )
     kernel = functools.partial(
         _expand_kernel, tiles_x=tiles_x, num_tiles=num_tiles, bits_g=bits_g,
-        cull=cull, blocks=bpp, n_blocks=n_blocks,
+        cull=cull, cull2=cull2, blocks=bpp, n_blocks=n_blocks,
     )
     (packed,) = pl.pallas_call(
         kernel,

@@ -51,10 +51,14 @@ ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 GROUP = 8  # tiles per program
 MXU_SCAN = True   # log-space transmittance via triangular MXU contraction
-# quadratic-basis exponent on the MXU: measured a net LOSS on v5e (the
-# [256,8]x[8,128] HIGHEST-precision contraction costs more than the fused
-# VPU dx/dy chain it replaces) — kept as an off-by-default experiment flag
+# quadratic-basis exponent on the MXU: measured a net LOSS on v5e in BOTH
+# forms — HIGHEST (6 f32-emulation passes) and bf16x3 (3 single passes,
+# basis exact in bf16, composite 12.85 -> 13.80 ms at 1.5M keys): the
+# 8-deep contraction pads to the 128-wide MXU and the operand staging
+# costs more than the ~9-op [P,C] VPU dx/dy chain it replaces. Kept as an
+# off-by-default experiment flag; do not retry without changing the shape.
 MXU_POWER = False
+MXU_POWER_BF16 = True  # bf16x3 split form (False = HIGHEST; both lose)
 PREFETCH0 = True  # issue chunk-0 DMAs of all group tiles up front
 
 
@@ -144,6 +148,35 @@ SCAN_PREC = jax.lax.Precision.HIGHEST
 # relative, well under the alpha-threshold tie noise the parity budget
 # already absorbs. Flag measured on-device; interpret-mode tests run both.
 SCAN_BF16X2 = True
+
+
+def _power_mm(basis: jnp.ndarray, coefs: jnp.ndarray) -> jnp.ndarray:
+    """[P, 8] basis @ [8, C] coefs with the configured MXU strategy.
+
+    bf16x3: the basis is exact in bf16 (tile-local monomials are integers
+    <= 225 < 2^8), and the coefs split exactly into three bf16 components
+    covering all 24 f32 mantissa bits — three single-pass contractions with
+    f32 accumulation reproduce the f32 product to ~1e-4 absolute (the f32
+    accumulation order is the only difference).
+    """
+    if not MXU_POWER_BF16:
+        return _mm(basis, coefs, ((1,), (0,)))
+    b = basis.astype(jnp.bfloat16)
+    c1 = coefs.astype(jnp.bfloat16)
+    r1 = coefs - c1.astype(jnp.float32)
+    c2 = r1.astype(jnp.bfloat16)
+    c3 = (r1 - c2.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def bmm(c):
+        # explicit DEFAULT precision: see _scan_mm
+        return jax.lax.dot_general(
+            b, c,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    return bmm(c1) + bmm(c2) + bmm(c3)
 
 
 def _scan_mm(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
@@ -253,7 +286,7 @@ def _fwd_kernel(
 
             if MXU_POWER:
                 coefs = _power_coefs(cur, tx_px, ty_px, chunk)
-                power = _mm(basis, coefs, ((1,), (0,)))      # [p, C] MXU
+                power = _power_mm(basis, coefs)              # [p, C] MXU
             else:
                 pix_row = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
                 pix_x = tx_px + (pix_row % TILE).astype(jnp.float32)
@@ -301,7 +334,11 @@ def _fwd_kernel(
                     jnp.max(jnp.where(contrib, pos1, 0), axis=1, keepdims=True),
                 )
             # included set is a per-pixel prefix -> post-chunk T is the
-            # smallest included t_after (reduce_min; no reduce_prod in Mosaic)
+            # smallest included t_after (reduce_min; no reduce_prod in
+            # Mosaic). NOTE: replacing this reduce (and the n_contrib max)
+            # with masked-log/count MXU dots measured a net LOSS on v5e —
+            # the bf16 operand-split casts cost more VPU ops than the
+            # cross-lane reduce they replace. Don't retry.
             t_carry = jnp.min(
                 jnp.where(include, t_after, t_carry), axis=1, keepdims=True
             )

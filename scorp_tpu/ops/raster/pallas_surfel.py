@@ -15,7 +15,8 @@ blocks, transmittance via Hillis-Steele cumulative products, and the full
 
 Training keeps the autodiff XLA path (surfel.py); this kernel serves
 render_2dgs-style evaluation. Stream rows (24, sublane-aligned):
-0-8 M row-major, 9-11 zrow, 12-13 center xy, 14-16 color, 17 opacity,
+0-8 adj(M) row-major (a1, a2, a3: s = adj @ (px, py, 1), see
+surfel.surfel_adj), 9-11 zrow, 12-13 center xy, 14-16 color, 17 opacity,
 18-20 view normal, 21-23 pad.
 """
 
@@ -34,6 +35,7 @@ from .common import (
     RasterConfig,
     _tile_bounds,
     gather_rows_u16,
+    gather_rows_u16_t,
     grid_dims,
     sorted_expansion,
 )
@@ -47,6 +49,8 @@ from .surfel import (
     T_EPS,
     SurfelOutput,
     SurfelPrep,
+    surfel_adj,
+    surfel_cull_ellipses,
     _surfel_prep_to_common,
     preprocess_surfel,
 )
@@ -67,39 +71,51 @@ def _masked_cumsum_lanes(x: jnp.ndarray, chunk: int) -> jnp.ndarray:
 
 def surfel_stream(prep: SurfelPrep, width: int, height: int, cfg: RasterConfig,
                   interpret: bool = False):
-    """Depth-ordered per-tile surfel stream [24, K] + tile ranges."""
+    """Depth-ordered per-tile surfel stream [24, K2] + tile ranges.
+
+    Exact alpha>=1/255 tile cull: {rho3d <= t2} projects to a screen conic
+    (the UV-disk under the splat homography) and {rho2d <= t2} is the
+    low-pass circle — surfel_cull_ellipses completes both to the centered
+    quadratic form the shared expansion cull evaluates, keeping a key iff
+    EITHER passes (alpha = opa exp(-min(rho3d, rho2d)/2)). Culled keys have
+    alpha < 1/255 at every pixel of their tile, so outputs are unchanged
+    while the stream (and every downstream stage) shrinks; the post-cull
+    slice to cfg.stream_cap is the compaction, for free.
+    """
     tiles_x, tiles_y = grid_dims(width, height)
     num_tiles = tiles_x * tiles_y
     k_cap = cfg.max_keys
+    k2 = cfg.stream_cap
 
     common = _surfel_prep_to_common(prep)
-    # NOTE: no exact ellipse-tile cull here — surfel alpha is
-    # exp(-0.5*min(rho3d, rho2d)) with rho3d a projective (non-quadratic)
-    # function of the pixel, so the 3DGS quadratic-form tile test is not a
-    # conservative bound for it.
-    sorted_tile, g_sorted, order, total, _ = sorted_expansion(
-        common, width, height, k_cap, cull=False, interpret=interpret
+    ell, circ = surfel_cull_ellipses(prep)
+    sorted_tile, g_sorted, order, total, kept = sorted_expansion(
+        common, width, height, k_cap, cull=True, interpret=interpret,
+        geo1=ell, geo2=circ,
     )
 
-    n = prep.xy.shape[0]
-    m_rows = prep.M.reshape(n, 9)  # row-major (m1, m2, m3)
+    adj = surfel_adj(prep.M)  # [N, 9]: s = adj @ (px, py, 1)
     # u16-bitcast row gathers: ~3x the 32-bit row-gather throughput
     table = gather_rows_u16(
         jnp.concatenate(
-            [m_rows, prep.zrow, prep.xy, prep.color, prep.opacity[:, None],
+            [adj, prep.zrow, prep.xy, prep.color, prep.opacity[:, None],
              prep.normal],
             axis=1,
         ),
         order,
     )  # [N, 21]
 
-    key_rows = gather_rows_u16(table, g_sorted)  # [K, 21]
+    sorted_tile = sorted_tile[:k2]
+    g_sorted = g_sorted[:k2]
+    key_cols = gather_rows_u16_t(table, g_sorted)  # [21, K2] transposed
     data = jnp.concatenate(
-        [key_rows.T, jnp.zeros((SURFEL_ROWS - key_rows.shape[1], k_cap), jnp.float32)],
+        [key_cols, jnp.zeros((SURFEL_ROWS - key_cols.shape[0], k2), jnp.float32)],
         axis=0,
     )
     tile_start, tile_count = _tile_bounds(sorted_tile, num_tiles)
-    dropped = jnp.maximum(total - k_cap, 0).astype(jnp.int32)
+    dropped = (
+        jnp.maximum(total - k_cap, 0) + jnp.maximum(kept - k2, 0)
+    ).astype(jnp.int32)
     return data, tile_start, tile_count, dropped
 
 
@@ -176,25 +192,22 @@ def _surfel_fwd_kernel(
                 _copy(start, ci + 2, group + (ci + 1) % 3).start()
 
             cur = chunk_vmem.at[slot]
-            m1x, m1y, m1z = cur[0:1, :], cur[1:2, :], cur[2:3, :]
-            m2x, m2y, m2z = cur[3:4, :], cur[4:5, :], cur[5:6, :]
-            m3x, m3y, m3z = cur[6:7, :], cur[7:8, :], cur[8:9, :]
+            # adj(M) rows: s = adj @ (px, py, 1) — the ray-splat solve is
+            # LINEAR in the pixel (see surfel.surfel_adj)
+            a1x, a1y, a1z = cur[0:1, :], cur[1:2, :], cur[2:3, :]
+            a2x, a2y, a2z = cur[3:4, :], cur[4:5, :], cur[5:6, :]
+            a3x, a3y, a3z = cur[6:7, :], cur[7:8, :], cur[8:9, :]
             zu, zv, zc = cur[9:10, :], cur[10:11, :], cur[11:12, :]
             cx, cy = cur[12:13, :], cur[13:14, :]
             opa = cur[17:18, :]
 
-            hux = m1x - pix_x * m3x      # [p, C]
-            huy = m1y - pix_x * m3y
-            huz = m1z - pix_x * m3z
-            hvx = m2x - pix_y * m3x
-            hvy = m2y - pix_y * m3y
-            hvz = m2z - pix_y * m3z
-            sx = huy * hvz - huz * hvy
-            sy = huz * hvx - hux * hvz
-            s_z = hux * hvy - huy * hvx
+            sx = a1x * pix_x + a1y * pix_y + a1z       # [p, C]
+            sy = a2x * pix_x + a2y * pix_y + a2z
+            s_z = a3x * pix_x + a3y * pix_y + a3z
             sz = jnp.where(jnp.abs(s_z) > 1e-9, s_z, 1e-9)
-            u = jnp.clip(sx / sz, -1e3, 1e3)
-            v = jnp.clip(sy / sz, -1e3, 1e3)
+            rz = 1.0 / sz  # one divide + two muls beats two divides
+            u = jnp.clip(sx * rz, -1e3, 1e3)
+            v = jnp.clip(sy * rz, -1e3, 1e3)
 
             rho3d = u * u + v * v
             dx = cx - pix_x
@@ -237,20 +250,28 @@ def _surfel_fwd_kernel(
             zsel = jnp.sum(jnp.where((r == kbest) & cond, z, 0.0), axis=1, keepdims=True)
             med = jnp.where(kbest >= 0.0, zsel, med)
 
-            # distortion with cross-chunk (A, D, D2) carries
+            # distortion with cross-chunk (A, D, D2) carries. The in-chunk
+            # pair sum TELESCOPES: sum_i w_i (m_i^2 A_pre_i + D2_pre_i -
+            # 2 m_i D_pre_i) = a_run*S2 + d2_run*S0 - 2 d_run*S1 +
+            # (S0*S2 - S1^2) with S0/S1/S2 the plain chunk sums of
+            # w/wm/wm2 (each unordered pair {i,j} contributes
+            # w_i w_j (m_i - m_j)^2 exactly once) — no prefix scans at all.
+            # The three triangular MXU contractions this replaces were the
+            # surfel compositor's MXU bottleneck (256 rows x 2 bf16 passes
+            # each). Sums <= 1 (transmittance), so the S0*S2 - S1^2
+            # cancellation costs ~1e-7 absolute.
             m = (FAR_PLANE / (FAR_PLANE - NEAR_PLANE)) * (1.0 - NEAR_PLANE / jnp.maximum(z, 1e-6))
             wm = w * m
             wm2 = wm * m
-            # exclusive prefix sums as MXU triangular contractions (exact f32)
-            a_pre = a_run + _scan_mm(w, ltri)
-            d_pre = d_run + _scan_mm(wm, ltri)
-            d2_pre = d2_run + _scan_mm(wm2, ltri)
-            acc_dist = acc_dist + jnp.sum(
-                w * (m * m * a_pre + d2_pre - 2.0 * m * d_pre), axis=1, keepdims=True
+            s0 = jnp.sum(w, axis=1, keepdims=True)
+            s1 = jnp.sum(wm, axis=1, keepdims=True)
+            s2 = jnp.sum(wm2, axis=1, keepdims=True)
+            acc_dist = acc_dist + (
+                a_run * s2 + d2_run * s0 - 2.0 * d_run * s1 + s0 * s2 - s1 * s1
             )
-            a_run = a_run + jnp.sum(w, axis=1, keepdims=True)
-            d_run = d_run + jnp.sum(wm, axis=1, keepdims=True)
-            d2_run = d2_run + jnp.sum(wm2, axis=1, keepdims=True)
+            a_run = a_run + s0
+            d_run = d_run + s1
+            d2_run = d2_run + s2
 
             t_carry = jnp.min(jnp.where(include, t_after, t_carry), axis=1, keepdims=True)
             stopped = jnp.maximum(

@@ -19,8 +19,8 @@ gs2dgs/gaussian_renderer/__init__.py:111-154):
     of w*u as triangular MXU contractions, double-buffered reads and
     pipelined gradient write-out), recomputes the ray-splat homography,
     and emits
-    per-key gradients for all 21 stream rows (M 9, zrow 3, center xy 2,
-    color 3, opacity 1, normal 3) at COMPACT stream positions on the
+    per-key gradients for all 21 stream rows (adj(M) 9, zrow 3, center xy
+    2, color 3, opacity 1, normal 3) at COMPACT stream positions on the
     global chunk grid, side-routing each program's final carry block (the
     only block another program can share) exactly like pallas_bwd;
   * gradients through the alpha=0.99 clamp propagate unconditionally
@@ -37,7 +37,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import RasterConfig, TILE, fast_gather_rows, gather_rows_u16, grid_dims
+from .common import (
+    RasterConfig,
+    TILE,
+    fast_gather_rows,
+    gather_rows_u16,
+    gather_rows_u16_t,
+    grid_dims,
+)
 from .pallas import _compact_routing, _f32, _i32
 from .pallas_fwd import _scan_mm, _strict_lower_tri, tiles_cp_to_image
 from .pallas_bwd import _rev_cumsum_mxu, _suffix_tri
@@ -52,6 +59,8 @@ from .surfel import (
     SurfelOutput,
     _surfel_prep_to_common,
     preprocess_surfel,
+    surfel_adj,
+    surfel_cull_ellipses,
 )
 
 FF = FAR_PLANE / (FAR_PLANE - NEAR_PLANE)
@@ -60,27 +69,25 @@ FF = FAR_PLANE / (FAR_PLANE - NEAR_PLANE)
 def _surfel_geometry(cur, pix_x, pix_y):
     """Shared fwd/bwd recompute: stream chunk -> per-(pixel,key) quantities.
 
-    Returns a dict of intermediates needed by both passes.
+    Stream rows 0-8 carry adj(M) (a1 a2 a3 row-major): the ray-splat solve
+    is the LINEAR form s = adj @ (px, py, 1) (see surfel.surfel_adj) —
+    three 2-FMA rows instead of the homogeneous-cross chain. fwd and bwd
+    share this helper, so both passes agree bit-for-bit on alpha.
     """
-    m1x, m1y, m1z = cur[0:1, :], cur[1:2, :], cur[2:3, :]
-    m2x, m2y, m2z = cur[3:4, :], cur[4:5, :], cur[5:6, :]
-    m3x, m3y, m3z = cur[6:7, :], cur[7:8, :], cur[8:9, :]
+    a1x, a1y, a1z = cur[0:1, :], cur[1:2, :], cur[2:3, :]
+    a2x, a2y, a2z = cur[3:4, :], cur[4:5, :], cur[5:6, :]
+    a3x, a3y, a3z = cur[6:7, :], cur[7:8, :], cur[8:9, :]
     zu, zv, zc = cur[9:10, :], cur[10:11, :], cur[11:12, :]
     cx, cy = cur[12:13, :], cur[13:14, :]
     opa = cur[17:18, :]
 
-    hux = m1x - pix_x * m3x      # [p, C]
-    huy = m1y - pix_x * m3y
-    huz = m1z - pix_x * m3z
-    hvx = m2x - pix_y * m3x
-    hvy = m2y - pix_y * m3y
-    hvz = m2z - pix_y * m3z
-    sx = huy * hvz - huz * hvy
-    sy = huz * hvx - hux * hvz
-    s_z = hux * hvy - huy * hvx
+    sx = a1x * pix_x + a1y * pix_y + a1z      # [p, C]
+    sy = a2x * pix_x + a2y * pix_y + a2z
+    s_z = a3x * pix_x + a3y * pix_y + a3z
     sz = jnp.where(jnp.abs(s_z) > 1e-9, s_z, 1e-9)
-    u_raw = sx / sz
-    v_raw = sy / sz
+    rz = 1.0 / sz
+    u_raw = sx * rz
+    v_raw = sy * rz
     u = jnp.clip(u_raw, -1e3, 1e3)
     v = jnp.clip(v_raw, -1e3, 1e3)
 
@@ -95,8 +102,8 @@ def _surfel_geometry(cur, pix_x, pix_y):
     alpha = jnp.minimum(ALPHA_MAX, alpha_u)
     z = jnp.where(use3d, u * zu + v * zv + zc, zc)
     return dict(
-        hu=(hux, huy, huz), hv=(hvx, hvy, hvz), s=(sx, sy, s_z), sz=sz,
-        u_raw=u_raw, v_raw=v_raw, u=u, v=v, use3d=use3d,
+        s=(sx, sy, s_z), sz=sz,
+        rz=rz, u_raw=u_raw, v_raw=v_raw, u=u, v=v, use3d=use3d,
         dx=dx, dy=dy, big_g=big_g, alpha_u=alpha_u, alpha=alpha, z=z,
         zu=zu, zv=zv, opa=opa,
     )
@@ -222,19 +229,23 @@ def _surfel_train_fwd_kernel(
             med = jnp.where(has, zsel, med)
             n_med = jnp.where(has, r, n_med)
 
+            # telescoped distortion: the in-chunk pair sum equals
+            # a_run*S2 + d2_run*S0 - 2 d_run*S1 + (S0*S2 - S1^2) with
+            # S0/S1/S2 the chunk sums of w/wm/wm2 — no prefix scans
+            # (see pallas_surfel.py; removes the compositor's three
+            # triangular MXU contractions)
             m = FF * (1.0 - NEAR_PLANE / jnp.maximum(z, 1e-6))
             wm = w * m
             wm2 = wm * m
-            # exclusive prefix sums as MXU triangular contractions (exact f32)
-            a_pre = a_run + _scan_mm(w, ltri)
-            d_pre = d_run + _scan_mm(wm, ltri)
-            d2_pre = d2_run + _scan_mm(wm2, ltri)
-            acc_dist = acc_dist + jnp.sum(
-                w * (m * m * a_pre + d2_pre - 2.0 * m * d_pre), axis=1, keepdims=True
+            s0 = jnp.sum(w, axis=1, keepdims=True)
+            s1 = jnp.sum(wm, axis=1, keepdims=True)
+            s2 = jnp.sum(wm2, axis=1, keepdims=True)
+            acc_dist = acc_dist + (
+                a_run * s2 + d2_run * s0 - 2.0 * d_run * s1 + s0 * s2 - s1 * s1
             )
-            a_run = a_run + jnp.sum(w, axis=1, keepdims=True)
-            d_run = d_run + jnp.sum(wm, axis=1, keepdims=True)
-            d2_run = d2_run + jnp.sum(wm2, axis=1, keepdims=True)
+            a_run = a_run + s0
+            d_run = d_run + s1
+            d2_run = d2_run + s2
 
             t_carry = jnp.min(jnp.where(include, t_after, t_carry), axis=1, keepdims=True)
             stopped = jnp.maximum(
@@ -394,8 +405,6 @@ def _surfel_bwd_kernel(
             dx, dy = geo["dx"], geo["dy"]
             sx, sy, s_z = geo["s"]
             sz = geo["sz"]
-            hux, huy, huz = geo["hu"]
-            hvx, hvy, hvz = geo["hv"]
 
             kpos = ci * chunk + lane
             in_seg = (kpos >= head) & (kpos < head + count)
@@ -467,19 +476,14 @@ def _surfel_bwd_kernel(
             d_cy_px = jnp.where(not3d, two_f * dy * drho, 0.0)
 
             # u = sx/sz, v = sy/sz (sz gradient only where |s_z| > 1e-9)
-            inv_sz = 1.0 / sz
+            inv_sz = geo["rz"]
             dsx = du * inv_sz
             dsy = dv * inv_sz
             dsz = -(u * du + v * dv) * inv_sz
             dsz = jnp.where(jnp.abs(s_z) > 1e-9, dsz, 0.0)
-            # s = hu x hv
-            d_hux = -dsy * hvz + dsz * hvy
-            d_huy = dsx * hvz - dsz * hvx
-            d_huz = -dsx * hvy + dsy * hvx
-            d_hvx = dsy * huz - dsz * huy
-            d_hvy = -dsx * huz + dsz * hux
-            d_hvz = dsx * huy - dsy * hux
-            # hu = m1 - px*m3 ; hv = m2 - py*m3
+            # s = adj @ (px, py, 1): d_adj rows are pixel-weighted sums of
+            # ds (the cross-product VJP moved outside the kernel — autodiff
+            # through surfel_adj maps d_adj back to d_M)
 
             def pxsum(x):
                 return jnp.sum(x, axis=0, keepdims=True)        # [1, C]
@@ -494,11 +498,9 @@ def _surfel_bwd_kernel(
             )
             g24 = jnp.concatenate(
                 [
-                    pxsum(d_hux), pxsum(d_huy), pxsum(d_huz),
-                    pxsum(d_hvx), pxsum(d_hvy), pxsum(d_hvz),
-                    pxsum(-pix_x * d_hux - pix_y * d_hvx),
-                    pxsum(-pix_x * d_huy - pix_y * d_hvy),
-                    pxsum(-pix_x * d_huz - pix_y * d_hvz),
+                    pxsum(dsx * pix_x), pxsum(dsx * pix_y), pxsum(dsx),
+                    pxsum(dsy * pix_x), pxsum(dsy * pix_y), pxsum(dsy),
+                    pxsum(dsz * pix_x), pxsum(dsz * pix_y), pxsum(dsz),
                     pxsum(d_zu_px), pxsum(d_zv_px), pxsum(d_zc_px),
                     pxsum(d_cx_px), pxsum(d_cy_px),
                     d_color, pxsum(d_opa_px), d_normal,
@@ -731,10 +733,10 @@ def _make_surfel_composite(width: int, height: int, cfg: RasterConfig,
     k_pad = -(-k2 // chunk) * chunk
 
     def _build_stream(table, g_pad):
-        key_rows = gather_rows_u16(table, g_pad)  # [K2, 21]
+        key_cols = gather_rows_u16_t(table, g_pad)  # [21, K2] transposed
         data = jnp.concatenate(
             [
-                key_rows[:, :SURFEL_COLS].T,
+                key_cols,
                 jnp.zeros((SURFEL_ROWS - SURFEL_COLS, k2), jnp.float32),
             ],
             axis=0,
@@ -815,19 +817,24 @@ def rasterize_surfel_pallas(
         scale_modifier=scale_modifier, screen_deltas=screen_deltas, alive=alive,
     )
     prep_sg = jax.lax.stop_gradient(_surfel_prep_to_common(prep))
-    # cull=False: the ellipse-tile cull needs a 3DGS conic; surfel prep
-    # carries none (the adapter zeroes it, making the test a no-op anyway)
+    # exact surfel tile cull: homography-projected UV-disk conic OR the
+    # low-pass circle (see surfel_cull_ellipses) — culled keys are below
+    # the 1/255 alpha threshold at every pixel of their tile, so outputs
+    # AND gradients are unchanged (the compositor skips them either way)
+    ell, circ = surfel_cull_ellipses(prep)
     g_pad, g_drop, tile_start, tile_count, dropped, order = _compact_routing(
-        prep_sg, w, h, cfg, cull=False, interpret=interpret
+        prep_sg, w, h, cfg, cull=True, interpret=interpret,
+        geo1=jax.lax.stop_gradient(ell), geo2=jax.lax.stop_gradient(circ),
     )
 
-    n = means3d.shape[0]
-    # no id column: i32 bit patterns bitcast into f32 do not survive TPU
-    # XLA's denormal flushing (see pallas.py), and nothing consumed it
+    # rows 0-8: adj(M) — the kernel's ray-splat solve is linear in the
+    # pixel (surfel.surfel_adj); its d_adj gradient flows back to M through
+    # this differentiable construction. No id column: i32 bit patterns
+    # bitcast into f32 do not survive TPU XLA's denormal flushing.
     table = fast_gather_rows(
         jnp.concatenate(
             [
-                prep.M.reshape(n, 9), prep.zrow, prep.xy,
+                surfel_adj(prep.M), prep.zrow, prep.xy,
                 prep.color, prep.opacity[:, None], prep.normal,
             ],
             axis=1,

@@ -177,6 +177,107 @@ def preprocess_surfel(
     return SurfelPrep(M, zrow, xy, p_view_z, n_view, color, opacity, radii, rect, valid)
 
 
+def surfel_adj(M: jnp.ndarray) -> jnp.ndarray:
+    """Normalized adjugate rows [N, 9] (a1 a2 a3, row-major).
+
+    The ray-splat solve s = (r1 - px r3) x (r2 - py r3) expands to the
+    LINEAR form s = adj(M) @ (px, py, 1) (the pxpy cross terms cancel), so
+    precomputing adj(M) per splat turns the compositor's per-(pixel,key)
+    homogeneous-cross chain (~21 VPU ops) into three 2-FMA rows (~9 ops).
+    u = sx/sz and v = sy/sz are invariant to per-splat scaling, so
+    normalizing by the max |entry| (a stop_gradient constant) keeps every
+    downstream value and gradient exact while keeping f32 healthy.
+    """
+    c0, c1, c2 = M[:, :, 0], M[:, :, 1], M[:, :, 2]
+    a = jnp.concatenate(
+        [jnp.cross(c1, c2), jnp.cross(c2, c0), jnp.cross(c0, c1)], axis=1
+    )
+    nrm = jax.lax.stop_gradient(
+        jnp.maximum(jnp.max(jnp.abs(a), axis=1, keepdims=True), 1e-30)
+    )
+    return a / nrm
+
+
+def surfel_cull_ellipses(prep: SurfelPrep) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-surfel screen ellipses for the exact alpha>=1/255 tile cull.
+
+    alpha = opa * exp(-min(rho3d, rho2d)/2) reaches 1/255 somewhere in a
+    tile iff (min over the tile of rho3d <= t2) OR (min rho2d <= t2), with
+    t2 = 2 log(255 opa):
+
+      * {rho3d <= t2} is the image of the UV-disk u^2+v^2 <= t2 under the
+        splat->screen homography H = M (columns M0 M1 M2; the compositor's
+        hu x hv construction evaluates s = adj(H) @ (px, py, 1), and
+        rho3d = (sx^2 + sy^2)/sz^2) — i.e. the conic
+        p^T [adj(H)^T diag(1,1,-t2) adj(H)] p <= 0. Completing the square
+        yields the centered form (p-x0)^T A' (p-x0) <= rho that
+        common/pallas_expand's ellipse-tile test consumes directly.
+      * {rho2d <= t2} is the low-pass circle A=C=FILTER_INV_SQUARE around
+        the projected center.
+
+    Degenerate conics (splat plane nearly containing the eye ray: A' not
+    positive definite) are force-kept via an infinite threshold; an empty
+    ellipse (rho < 0: the 3D test passes nowhere) keeps only via the
+    circle. Returns two [N, 6] arrays (cx, cy, A, B, C, t2).
+    """
+    n = prep.xy.shape[0]
+    t2 = jnp.maximum(
+        2.0 * jnp.log(jnp.maximum(prep.opacity, 1e-12) * 255.0), 0.0
+    )
+    c0 = prep.M[:, :, 0]
+    c1 = prep.M[:, :, 1]
+    c2 = prep.M[:, :, 2]
+    a1 = jnp.cross(c1, c2)      # rows of adj(H)
+    a2 = jnp.cross(c2, c0)
+    a3 = jnp.cross(c0, c1)
+    # scale-invariant test: normalize adj to keep Q (quartic in M) in f32
+    nrm = jnp.maximum(
+        jnp.max(
+            jnp.maximum(jnp.abs(a1), jnp.maximum(jnp.abs(a2), jnp.abs(a3))),
+            axis=1,
+        ),
+        1e-30,
+    )[:, None]
+    a1 = a1 / nrm
+    a2 = a2 / nrm
+    a3 = a3 / nrm
+
+    def q(i, j):
+        return (
+            a1[:, i] * a1[:, j] + a2[:, i] * a2[:, j]
+            - t2 * a3[:, i] * a3[:, j]
+        )
+
+    A, B, C = q(0, 0), q(0, 1), q(1, 1)
+    q0, q1, cq = q(0, 2), q(1, 2), q(2, 2)
+    det2 = A * C - B * B
+    pd = (A > 0.0) & (C > 0.0) & (det2 > 0.0)
+    inv_det = 1.0 / jnp.where(pd, det2, 1.0)
+    x0 = (B * q1 - C * q0) * inv_det
+    y0 = (B * q0 - A * q1) * inv_det
+    # near-degenerate conics put the completed-square center astronomically
+    # far off-screen (tiny det2): the test is numerically meaningless there
+    # — treat like ~pd (force-keep)
+    ok = pd & (jnp.abs(x0) < 1e6) & (jnp.abs(y0) < 1e6)
+    rho = -(cq + q0 * x0 + q1 * y0)
+    # ~ok -> force-keep via a huge FINITE threshold (inf would turn into
+    # NaN inside the expansion kernel's bf16x3 table split); ok & rho<0 ->
+    # ellipse empty (negative threshold: the q >= 0 test can never pass)
+    thr = jnp.where(ok, rho, 1e30)
+    x0 = jnp.where(ok, x0, 0.0)
+    y0 = jnp.where(ok, y0, 0.0)
+    A = jnp.where(ok, A, 1.0)
+    B = jnp.where(ok, B, 0.0)
+    C = jnp.where(ok, C, 1.0)
+    ell = jnp.stack([x0, y0, A, B, C, thr], axis=1)
+
+    f = jnp.full((n,), FILTER_INV_SQUARE, jnp.float32)
+    circ = jnp.stack(
+        [prep.xy[:, 0], prep.xy[:, 1], f, jnp.zeros_like(f), f, t2], axis=1
+    )
+    return ell.astype(jnp.float32), circ.astype(jnp.float32)
+
+
 def _surfel_prep_to_common(prep: SurfelPrep) -> Preprocessed:
     """Adapter so the shared binning consumes surfel prep (conic unused)."""
     return Preprocessed(

@@ -37,6 +37,19 @@ if MODE == "render":
                                           track_ncontrib=False)[0]
 
     args = (xyz, shs, scales, quats, opacity)
+elif MODE == "render2d":
+    from scorp_tpu.ops.raster.pallas_surfel import rasterize_surfel_pallas_fwd_only
+
+    s2 = jnp.concatenate([scales[:, :2], jnp.zeros_like(scales[:, :1])], axis=1)
+
+    @jax.jit
+    def step(xyz, shs, scales, quats, opacity):
+        return rasterize_surfel_pallas_fwd_only(
+            xyz, opacity, cam, bg, shs=shs, sh_degree=3,
+            scales=scales, quats=quats, cfg=cfg,
+        ).color
+
+    args = (xyz, shs, s2, quats, opacity)
 else:
     import numpy as np
 
@@ -101,6 +114,10 @@ for e in trace.get("traceEvents", []):
         if not events[key][1]:
             events[key][1] = str(args_d.get("long_name", ""))[:160]
 # top 25 by time (dur in us, 3 steps)
-top = sorted(events.items(), key=lambda kv: -kv[1][0])[:25]
-for name, (us, long_name) in top:
+ranked = sorted(events.items(), key=lambda kv: -kv[1][0])
+for name, (us, long_name) in ranked[:25]:
     print(f"{us / 3 / 1e3:8.3f} ms  {name[:60]}  {long_name}")
+tail = sum(us for _, (us, _) in ranked[25:])
+total = sum(us for _, (us, _) in ranked)
+print(f"   ---    {len(ranked) - 25} more ops: {tail / 3 / 1e3:.3f} ms; "
+      f"device total {total / 3 / 1e3:.3f} ms")

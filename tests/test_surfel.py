@@ -183,3 +183,87 @@ class TestSurfelTraining:
             if ci == 0:
                 psnrs.append(float(m.psnr))
         assert psnrs[-1] > psnrs[0] + 2.0, (psnrs[0], psnrs[-1])
+
+
+class TestSurfelCull:
+    """The surfel expansion cull (homography-projected UV-disk conic OR
+    low-pass circle, surfel.surfel_cull_ellipses) must never drop a key
+    whose surfel reaches alpha >= 1/255 anywhere on its tile — verified
+    brute-force against the compositor's own alpha formula, on a scene
+    with large rotated anisotropic surfels (where the conic completion is
+    least trivial)."""
+
+    def test_cull_is_output_invariant(self):
+        from scorp_tpu.ops.raster.common import _expand_keys_core
+        from scorp_tpu.ops.raster.surfel import (
+            ALPHA_MIN,
+            FILTER_INV_SQUARE,
+            _surfel_prep_to_common,
+            preprocess_surfel,
+            surfel_cull_ellipses,
+        )
+
+        rng = np.random.default_rng(7)
+        n = 160
+        cam = look_at_camera(eye=[0, 0, -3], target=[0, 0, 0], up=[0, 1, 0],
+                             fovx=0.9, fovy=0.8, width=320, height=240)
+        xyz = jnp.asarray(rng.uniform(-1.2, 1.2, (n, 3)).astype(np.float32))
+        # anisotropic: long thin rotated surfels exercise the conic math
+        scales = jnp.asarray(
+            np.stack([rng.uniform(0.02, 0.8, n), rng.uniform(0.005, 0.1, n)],
+                     axis=1).astype(np.float32))
+        q = rng.standard_normal((n, 4)).astype(np.float32)
+        quats = jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True))
+        opa = jnp.asarray(rng.uniform(0.05, 0.99, n).astype(np.float32))
+        colors = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+
+        prep = preprocess_surfel(xyz, opa, cam, colors_precomp=colors,
+                                 scales=scales, quats=quats)
+        common = _surfel_prep_to_common(prep)
+        ell, circ = surfel_cull_ellipses(prep)
+        k_cap = 1 << 15
+        out0 = jax.jit(lambda p: _expand_keys_core(p, 320, 240, k_cap,
+                                                   cull=False))(common)
+        out1 = jax.jit(
+            lambda p, g1, g2: _expand_keys_core(p, 320, 240, k_cap,
+                                                cull=True, geo1=g1, geo2=g2)
+        )(common, ell, circ)
+        t0, g0, order, total, x0, y0, r0, kept0 = out0
+        _, _, _, _, _, _, r1, kept1 = out1
+        assert int(total) <= k_cap
+        r0 = np.asarray(r0)
+        culled = r0 & ~np.asarray(r1)
+        idx = np.nonzero(culled)[0]
+        assert int(kept1) <= int(kept0)
+
+        # brute-force: max alpha of each culled key over its 16x16 tile
+        order_np = np.asarray(order)
+        g_np = np.asarray(g0)
+        ktx = np.asarray(x0)
+        kty = np.asarray(y0)
+        M = np.asarray(prep.M).astype(np.float64)
+        xy = np.asarray(prep.xy)
+        opa_np = np.asarray(prep.opacity)
+        bad = 0
+        worst = 0.0
+        for k in idx:
+            gi = order_np[g_np[k]]
+            px = np.arange(ktx[k] * 16, ktx[k] * 16 + 16, dtype=np.float64)
+            py = np.arange(kty[k] * 16, kty[k] * 16 + 16, dtype=np.float64)
+            PX, PY = np.meshgrid(px, py)
+            r1_, r2_, r3_ = M[gi]
+            hu = r1_[None, None] - PX[..., None] * r3_[None, None]
+            hv = r2_[None, None] - PY[..., None] * r3_[None, None]
+            s = np.cross(hu, hv)
+            sz = np.where(np.abs(s[..., 2]) > 1e-9, s[..., 2], 1e-9)
+            u = np.clip(s[..., 0] / sz, -1e3, 1e3)
+            v = np.clip(s[..., 1] / sz, -1e3, 1e3)
+            rho3d = u * u + v * v
+            d_x = xy[gi, 0] - PX
+            d_y = xy[gi, 1] - PY
+            rho2d = FILTER_INV_SQUARE * (d_x * d_x + d_y * d_y)
+            a = float(np.max(opa_np[gi] * np.exp(
+                -0.5 * np.minimum(rho3d, rho2d))))
+            worst = max(worst, a)
+            bad += a >= ALPHA_MIN
+        assert bad == 0, (bad, worst)

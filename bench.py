@@ -82,7 +82,7 @@ def bench_render(xyz, shs, scales, quats, opacity, cam, cfg):
         lambda *a: preprocess(a[0], a[4], cam, shs=a[1], sh_degree=3,
                               scales=a[2], quats=a[3])
     )(xyz, shs, scales, quats, opacity)
-    *_, kept_k, _bits = jax.jit(
+    _, _, _, kept_k, _bits, _ = jax.jit(
         expand_sorted_keys,
         static_argnames=("width", "height", "k_cap", "cull"),
     )(prep, cam.width, cam.height, cfg.max_keys, True)

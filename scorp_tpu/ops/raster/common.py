@@ -140,6 +140,53 @@ def gather_rows_u16_t(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(u, jnp.float32).T  # [c, K]
 
 
+def _gather_rows_mixed_impl(extra, aux16, idx):
+    r, c = extra.shape
+    t16 = jax.lax.bitcast_convert_type(extra, jnp.uint16).reshape(r, 2 * c)
+    rows = jnp.concatenate([t16, aux16], axis=1)[idx]
+    ex = jax.lax.bitcast_convert_type(
+        rows[:, : 2 * c].reshape(-1, c, 2), jnp.float32
+    )
+    return ex, rows[:, 2 * c :]
+
+
+@jax.custom_vjp
+def gather_rows_mixed(
+    extra: jnp.ndarray, aux16: jnp.ndarray, idx: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """ONE u16 row gather moving a differentiable f32 block and a
+    non-differentiable u16 block together: (extra[idx], aux16[idx]).
+
+    The XLA row gather costs ~2-4 ns/row nearly independent of row width
+    (VMEM-resident source), so fusing the payload table with the routing
+    aux columns (rect + cull geometry) halves the number of N-row gathers
+    per frame. Gradient flows to `extra` only (scatter-add VJP)."""
+    return _gather_rows_mixed_impl(extra, aux16, idx)
+
+
+def _gather_mixed_fwd(extra, aux16, idx):
+    return (
+        _gather_rows_mixed_impl(extra, aux16, idx),
+        (idx, extra.shape[0], aux16.shape),
+    )
+
+
+def _gather_mixed_bwd(res, grads):
+    idx, n_rows, aux_shape = res
+    g_extra, _ = grads
+    d_extra = jnp.zeros((n_rows, g_extra.shape[1]), g_extra.dtype).at[idx].add(
+        g_extra
+    )
+    return (
+        d_extra,
+        np.zeros(aux_shape, jax.dtypes.float0),
+        np.zeros(idx.shape, jax.dtypes.float0),
+    )
+
+
+gather_rows_mixed.defvjp(_gather_mixed_fwd, _gather_mixed_bwd)
+
+
 @jax.custom_vjp
 def fast_gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Differentiable row gather table[idx] with the u16 fast path.
@@ -590,15 +637,20 @@ def sorted_expansion(
     interpret: bool = False,
     geo1: jnp.ndarray | None = None,
     geo2: jnp.ndarray | None = None,
+    extra: jnp.ndarray | None = None,
 ):
     """Expansion + stable tile sort -> (sorted_tile, g_sorted [K], order,
-    total, kept). Uses the Pallas expansion kernel (pallas_expand) when the
-    packed sort key fits and a TPU (or interpret mode) is available; the
-    XLA scatter+cumsum expansion otherwise.
+    total, kept, extra_sorted). Uses the Pallas expansion kernel
+    (pallas_expand) when the packed sort key fits and a TPU (or interpret
+    mode) is available; the XLA scatter+cumsum expansion otherwise.
 
     geo1/geo2: optional explicit cull ellipses [N, 6] (cx, cy, A, B, C,
     t2); geo1 defaults to the 3DGS conic (default_cull_geo), geo2 adds a
     second ellipse OR-ed with the first (the surfel low-pass circle).
+
+    extra: optional differentiable [N, C] f32 payload permuted by the
+    depth order inside the expansion's single N-row gather (the kernel
+    path) — one gather instead of a separate fast_gather_rows per caller.
     """
     import jax as _jax
 
@@ -616,17 +668,18 @@ def sorted_expansion(
         and (interpret or _jax.default_backend() not in ("cpu",))
     )
     if use_kernel:
-        packed, order, total, kept, bits_g = pe.expand_sorted_keys(
+        packed, order, total, kept, bits_g, extra_sorted = pe.expand_sorted_keys(
             prep, width, height, k_cap, cull=cull, interpret=interpret,
-            geo1=geo1, geo2=geo2,
+            geo1=geo1, geo2=geo2, extra=extra,
         )
         s = jax.lax.sort(packed, is_stable=False)
-        return s >> bits_g, s & ((1 << bits_g) - 1), order, total, kept
+        return s >> bits_g, s & ((1 << bits_g) - 1), order, total, kept, extra_sorted
     tile, g_of_k, order, total, _, _, _, kept = _expand_keys_core(
         prep, width, height, k_cap, cull=cull, geo1=geo1, geo2=geo2
     )
     sorted_tile, g_sorted = _tile_sort(tile, g_of_k, num_tiles, n)
-    return sorted_tile, g_sorted, order, total, kept
+    extra_sorted = fast_gather_rows(extra, order) if extra is not None else None
+    return sorted_tile, g_sorted, order, total, kept, extra_sorted
 
 
 def bin_stream(
@@ -646,25 +699,22 @@ def bin_stream(
     k_cap = cfg.max_keys
     k2 = cfg.stream_cap
 
-    sorted_tile, g_sorted, order, total, kept = sorted_expansion(
-        prep, width, height, k_cap, cull=True, interpret=interpret
+    # depth-ordered per-gaussian table [N, 10], permuted inside the
+    # expansion's single N-row gather. No id column: i32 bit patterns
+    # bitcast into f32 do NOT survive TPU XLA (denormal flushing in copy
+    # fusions zeroes them, fusion/scale-dependently).
+    extra = jnp.concatenate(
+        [
+            prep.xy,
+            prep.conic,
+            prep.color,
+            prep.opacity[:, None],
+            prep.depth[:, None],
+        ],
+        axis=1,
     )
-
-    # depth-ordered per-gaussian table [N, 10]. No id column: i32 bit
-    # patterns bitcast into f32 do NOT survive TPU XLA (denormal flushing
-    # in copy fusions zeroes them, fusion/scale-dependently).
-    table = fast_gather_rows(
-        jnp.concatenate(
-            [
-                prep.xy,
-                prep.conic,
-                prep.color,
-                prep.opacity[:, None],
-                prep.depth[:, None],
-            ],
-            axis=1,
-        ),
-        order,
+    sorted_tile, g_sorted, order, total, kept, table = sorted_expansion(
+        prep, width, height, k_cap, cull=True, interpret=interpret, extra=extra
     )
 
     # culled + out-of-range keys carry the num_tiles sentinel, so the stable

@@ -39,8 +39,6 @@ from .common import (
     DATA_ROWS_PADDED,
     RasterConfig,
     _tile_bounds,
-    fast_gather_rows,
-    gather_rows_u16,
     gather_rows_u16_t,
     grid_dims,
     preprocess,
@@ -153,7 +151,8 @@ def _make_composite(width: int, height: int, cfg: RasterConfig, interpret: bool)
 
 
 def _compact_routing(prep_sg, width, height, cfg, cull: bool = True,
-                     interpret: bool = False, geo1=None, geo2=None):
+                     interpret: bool = False, geo1=None, geo2=None,
+                     extra=None):
     """Integer routing for the COMPACT training stream.
 
     Sorted key positions are stream positions: no alignment padding and no
@@ -161,9 +160,12 @@ def _compact_routing(prep_sg, width, height, cfg, cull: bool = True,
     stream, ~9 ms at 1.7M keys on v5e, is gone). The backward kernel's
     side-block outputs (pallas_bwd) make cross-program chunk sharing safe.
 
+    `extra` (optional [N, C] f32, DIFFERENTIABLE): payload table permuted
+    by the depth order inside the expansion's single N-row gather.
+
     Returns (g_pad [K2] gather ids, g_drop [K_pad] scatter ids with
     out-of-stream slots set to a drop sentinel, tile_start [T],
-    tile_count [T], dropped key count, order).
+    tile_count [T], dropped key count, order, extra_sorted).
     """
     tiles_x, tiles_y = grid_dims(width, height)
     num_tiles = tiles_x * tiles_y
@@ -174,9 +176,9 @@ def _compact_routing(prep_sg, width, height, cfg, cull: bool = True,
     # routing integers ride the custom_vjp boundary as f32 VALUES (_f32)
     assert max(k, k_pad, prep_sg.xy.shape[0] + 1) <= 1 << 24
 
-    sorted_tile, g_sorted, order, total, kept = sorted_expansion(
+    sorted_tile, g_sorted, order, total, kept, extra_sorted = sorted_expansion(
         prep_sg, width, height, k, cull=cull, interpret=interpret,
-        geo1=geo1, geo2=geo2,
+        geo1=geo1, geo2=geo2, extra=extra,
     )
     # culled/out-of-range keys sorted past the end; the slice compacts
     sorted_tile = sorted_tile[:k2]
@@ -191,7 +193,7 @@ def _compact_routing(prep_sg, width, height, cfg, cull: bool = True,
     ) if k_pad > k2 else g_sorted
     g_drop = jnp.where(j < k_end, g_ext, n_rows)  # sentinel -> scatter drop
     dropped = jnp.maximum(total - k, 0) + jnp.maximum(kept - k2, 0)
-    return g_sorted, g_drop, tile_start, tile_count, dropped, order
+    return g_sorted, g_drop, tile_start, tile_count, dropped, order, extra_sorted
 
 
 
@@ -222,22 +224,19 @@ def rasterize_pallas(
         scales=scales, quats=quats, cov3d_precomp=cov3d_precomp,
         scale_modifier=scale_modifier, screen_deltas=screen_deltas, alive=alive,
     )
-    # integer routing (no gradients)
+    # integer routing (no gradients) + the differentiable payload table,
+    # depth-ordered inside the expansion's single N-row gather (VJP:
+    # N-sized scatter-add through gather_rows_mixed)
     prep_sg = jax.lax.stop_gradient(prep)
-    g_pad, g_drop, tile_start, tile_count, dropped, order = _compact_routing(
-        prep_sg, w, h, cfg, interpret=interpret
+    extra = jnp.concatenate(
+        [
+            prep.xy, prep.conic, prep.color,
+            prep.opacity[:, None], prep.depth[:, None],
+        ],
+        axis=1,
     )
-
-    # differentiable payload table, depth-ordered (VJP: N-sized scatter-add)
-    table = fast_gather_rows(
-        jnp.concatenate(
-            [
-                prep.xy, prep.conic, prep.color,
-                prep.opacity[:, None], prep.depth[:, None],
-            ],
-            axis=1,
-        ),
-        order,
+    g_pad, g_drop, tile_start, tile_count, dropped, order, table = (
+        _compact_routing(prep_sg, w, h, cfg, interpret=interpret, extra=extra)
     )
 
     composite = _make_composite(w, h, cfg, interpret)

@@ -271,14 +271,22 @@ def expand_sorted_keys(
     interpret: bool = False,
     geo1: jnp.ndarray | None = None,
     geo2: jnp.ndarray | None = None,
+    extra: jnp.ndarray | None = None,
 ):
     """Depth-sort + expand + cull + pack, returning the UNSORTED packed key
-    array [k_cap] plus (order [N], total, kept, bits_g). Callers sort it
-    with one lax.sort; tile = key >> bits_g, depth-rank = key & mask.
+    array [k_cap] plus (order [N], total, kept, bits_g, extra_sorted).
+    Callers sort it with one lax.sort; tile = key >> bits_g, depth-rank =
+    key & mask.
 
     geo1/geo2 [N, 6] (cx, cy, A, B, C, t2): explicit cull ellipses; geo1
     defaults to the 3DGS conic, geo2 (when given) widens the table to 24
     rows and keeps a key if EITHER ellipse admits it (surfel union).
+
+    extra [N, C] f32: optional DIFFERENTIABLE payload permuted by the same
+    depth order in the same u16 row gather that moves the rect and cull
+    geometry (one N-row gather instead of three; the gather cost is
+    per-row, nearly width-independent). Returned as extra_sorted; its VJP
+    is the scatter-add of fast_gather_rows.
     """
     tiles_x, tiles_y = grid_dims(width, height)
     num_tiles = tiles_x * tiles_y
@@ -291,18 +299,48 @@ def expand_sorted_keys(
     # boundaries for the cross-program prefetch handoff
     assert BLOCKS_PER_PROG % DMA_DEPTH == 0
 
+    from .common import gather_rows_mixed
+
     order = jnp.argsort(jnp.where(prep.valid, prep.depth, jnp.inf), stable=True)
-    rect = prep.rect.astype(jnp.uint16)[order].astype(jnp.int32)
+
+    cull2 = geo2 is not None
+    assert cull or not cull2, "geo2 requires cull=True"
+    geos = []
+    if cull:
+        from .common import default_cull_geo
+
+        geos.append(geo1 if geo1 is not None else default_cull_geo(prep))
+        if cull2:
+            geos.append(geo2)
+
+    # ONE u16 row gather for rect + cull geometry + caller payload
+    aux_parts = [prep.rect.astype(jnp.uint16)]
+    for g in geos:
+        g16 = jax.lax.bitcast_convert_type(
+            jax.lax.stop_gradient(g), jnp.uint16
+        ).reshape(n, 12)
+        aux_parts.append(g16)
+    aux16 = jnp.concatenate(aux_parts, axis=1)
+    if extra is None:
+        extra_in = jnp.zeros((n, 1), jnp.float32)
+    else:
+        extra_in = extra
+    extra_sorted, aux_sorted = gather_rows_mixed(extra_in, aux16, order)
+    if extra is None:
+        extra_sorted = None
+
+    rect = aux_sorted[:, :4].astype(jnp.int32)
     x0, y0, x1, y1 = rect[:, 0], rect[:, 1], rect[:, 2], rect[:, 3]
     span = x1 - x0
     counts = span * (y1 - y0)
     starts = jnp.cumsum(counts) - counts
     total = starts[-1] + counts[-1]
 
-    def _geo_rows(geo):
-        from .common import gather_rows_u16
-
-        g = gather_rows_u16(jax.lax.stop_gradient(geo), order)
+    def _geo_rows(i):
+        g = jax.lax.bitcast_convert_type(
+            aux_sorted[:, 4 + 12 * i : 16 + 12 * i].reshape(n, 6, 2),
+            jnp.float32,
+        )
         gx_rel = g[:, 0] - x0.astype(jnp.float32) * TILE
         gy_rel = g[:, 1] - y0.astype(jnp.float32) * TILE
         # clamp the threshold FINITE: inf would split to NaN residuals in
@@ -311,11 +349,8 @@ def expand_sorted_keys(
         t2 = jnp.minimum(g[:, 5], 1e30)
         return [gx_rel, gy_rel, g[:, 2], g[:, 3], g[:, 4], t2]
 
-    cull2 = geo2 is not None
     if cull:
-        from .common import default_cull_geo
-
-        cull_cols = _geo_rows(geo1 if geo1 is not None else default_cull_geo(prep))
+        cull_cols = _geo_rows(0)
     else:
         zeros = jnp.zeros(n, jnp.float32)
         cull_cols = [zeros] * 6
@@ -341,7 +376,7 @@ def expand_sorted_keys(
         iota,                                                 # 15 depth rank
     ]
     if cull2:
-        cols += [*_geo_rows(geo2), zeros, zeros]              # 16-21 + pad
+        cols += [*_geo_rows(1), zeros, zeros]                 # 16-21 + pad
     n_cols = len(cols)  # 16 or 24 (sublane-tile multiple either way)
     assert n_cols % 8 == 0
     table = jnp.stack(cols, axis=0)                           # [cols, N]
@@ -361,17 +396,25 @@ def expand_sorted_keys(
     bpp = BLOCKS_PER_PROG
     n_progs = -(-n_blocks // bpp)
     blocks_pad = n_progs * bpp
-    # method='sort': both operands are already sorted, so the concat-sort
-    # is a merge; beats the 21-step binary search (21 dispatches of random
-    # HBM gathers, ~2.1 ms at 250k/14336 on v5e) by ~4x
-    g_lo = (
+    # The kernel consumes g_lo only through its 128-aligned window base
+    # (g_lo // 128) * 128, and for a nondecreasing `starts` the coarse
+    # search over starts[::128] returns exactly g_lo // 128:
+    #   coarse = max{c: starts[128c] <= k}  vs  g_lo = max{g: starts[g] <= k}
+    #   starts[128*coarse] <= k          -> g_lo >= 128*coarse
+    #   starts[128*(g_lo//128)] <= starts[g_lo] <= k -> coarse >= g_lo//128.
+    # Searching the ~N/128 table instead of N cuts the host-side stage from
+    # a 264k-element merge sort + cumsum (~1.9 ms at 250k/14336 on v5e) to
+    # a 16k-element merge (~0.1 ms; measured vs scan_unrolled, whose 11
+    # dispatch steps cost ~1 ms more despite the VMEM-resident 8 KB table).
+    coarse = starts[::128]
+    win_blk = (
         jnp.searchsorted(
-            starts, jnp.arange(n_blocks, dtype=jnp.int32) * 128, side="right",
+            coarse, jnp.arange(n_blocks, dtype=jnp.int32) * 128, side="right",
             method="sort",
         ).astype(jnp.int32)
         - 1
     )
-    g_lo = jnp.clip(g_lo, 0, n - 1)
+    g_lo = jnp.clip(win_blk, 0, (n - 1) // 128) * 128
     g_lo = jnp.pad(g_lo, (0, blocks_pad - n_blocks))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -399,4 +442,4 @@ def expand_sorted_keys(
     packed = packed.reshape(blocks_pad * 128)[:k_cap]
     sentinel = (num_tiles << bits_g) | 1
     kept = jnp.sum((packed != sentinel).astype(jnp.int32))
-    return packed, order, total, kept, bits_g
+    return packed, order, total, kept, bits_g, extra_sorted

@@ -40,8 +40,6 @@ from jax.experimental.pallas import tpu as pltpu
 from .common import (
     RasterConfig,
     TILE,
-    fast_gather_rows,
-    gather_rows_u16,
     gather_rows_u16_t,
     grid_dims,
 )
@@ -822,24 +820,24 @@ def rasterize_surfel_pallas(
     # the 1/255 alpha threshold at every pixel of their tile, so outputs
     # AND gradients are unchanged (the compositor skips them either way)
     ell, circ = surfel_cull_ellipses(prep)
-    g_pad, g_drop, tile_start, tile_count, dropped, order = _compact_routing(
-        prep_sg, w, h, cfg, cull=True, interpret=interpret,
-        geo1=jax.lax.stop_gradient(ell), geo2=jax.lax.stop_gradient(circ),
-    )
-
     # rows 0-8: adj(M) — the kernel's ray-splat solve is linear in the
     # pixel (surfel.surfel_adj); its d_adj gradient flows back to M through
-    # this differentiable construction. No id column: i32 bit patterns
-    # bitcast into f32 do not survive TPU XLA's denormal flushing.
-    table = fast_gather_rows(
-        jnp.concatenate(
-            [
-                surfel_adj(prep.M), prep.zrow, prep.xy,
-                prep.color, prep.opacity[:, None], prep.normal,
-            ],
-            axis=1,
-        ),
-        order,
+    # this differentiable gather (permuted inside the expansion's single
+    # N-row gather). No id column: i32 bit patterns bitcast into f32 do
+    # not survive TPU XLA's denormal flushing.
+    extra = jnp.concatenate(
+        [
+            surfel_adj(prep.M), prep.zrow, prep.xy,
+            prep.color, prep.opacity[:, None], prep.normal,
+        ],
+        axis=1,
+    )
+    g_pad, g_drop, tile_start, tile_count, dropped, order, table = (
+        _compact_routing(
+            prep_sg, w, h, cfg, cull=True, interpret=interpret,
+            geo1=jax.lax.stop_gradient(ell), geo2=jax.lax.stop_gradient(circ),
+            extra=extra,
+        )
     )
 
     composite = _make_surfel_composite(w, h, cfg, interpret)

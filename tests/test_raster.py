@@ -387,7 +387,7 @@ class TestCompactRouting:
         prep = preprocess(xyz, opa, CAM, shs=shs, sh_degree=1,
                           scales=scales, quats=quats)
         cfg = CFG._replace(pallas_chunk=128)
-        g_pad, g_drop, tstart, tcount, dropped, order = jax.jit(
+        g_pad, g_drop, tstart, tcount, dropped, order, _ = jax.jit(
             lambda p: _compact_routing(p, 64, 48, cfg)
         )(prep)
         a = np.asarray(tstart)
@@ -436,7 +436,7 @@ class TestPallasExpand:
         from scorp_tpu.ops.raster.common import grid_dims
         from scorp_tpu.ops.raster.pallas_expand import expand_sorted_keys
 
-        packed, order, total, kept, bits_g = jax.jit(
+        packed, order, total, kept, bits_g, _ = jax.jit(
             lambda p: expand_sorted_keys(p, w, h, k_cap, cull=cull,
                                          interpret=True)
         )(prep)
@@ -487,6 +487,28 @@ class TestPallasExpand:
             amax = cull_test._max_tile_alpha_vec(
                 prep, np.asarray(ktx), np.asarray(kty), g_arr, order, mask)
             assert amax.max(initial=0.0) < 1.0 / 255.0
+
+
+class TestGatherRowsMixed:
+    def test_value_and_grad(self):
+        from scorp_tpu.ops.raster.common import gather_rows_mixed
+
+        rng = np.random.default_rng(11)
+        n, c = 64, 5
+        extra = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+        aux16 = jnp.asarray(rng.integers(0, 1 << 16, size=(n, 6), dtype=np.uint16))
+        idx = jnp.asarray(rng.integers(0, n, size=100, dtype=np.int32))
+
+        ex, aux = jax.jit(gather_rows_mixed)(extra, aux16, idx)
+        np.testing.assert_array_equal(np.asarray(ex), np.asarray(extra)[np.asarray(idx)])
+        np.testing.assert_array_equal(np.asarray(aux), np.asarray(aux16)[np.asarray(idx)])
+
+        # VJP of the f32 block = scatter-add by idx; aux/idx get no tangent
+        w = jnp.asarray(rng.normal(size=(100, c)).astype(np.float32))
+        g = jax.grad(lambda e: jnp.sum(gather_rows_mixed(e, aux16, idx)[0] * w))(extra)
+        expected = np.zeros((n, c), np.float32)
+        np.add.at(expected, np.asarray(idx), np.asarray(w))
+        np.testing.assert_allclose(np.asarray(g), expected, rtol=1e-6)
 
 
 class TestTileSort:

@@ -188,6 +188,45 @@ gather_rows_mixed.defvjp(_gather_mixed_fwd, _gather_mixed_bwd)
 
 
 @jax.custom_vjp
+def gather_rows_mixed_perm(
+    extra: jnp.ndarray, aux16: jnp.ndarray, perm: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """gather_rows_mixed for a PERMUTATION index (len(perm) == len(extra),
+    each row exactly once). The VJP then moves the cotangent by the inverse
+    permutation: one 2-column sort (~0.4 ms at 250k) + one u16 row gather
+    (~2-4 ns/row) instead of the generic scatter-add (~13-15 ns/row —
+    measured 3.2 ms -> ~1 ms at 250k x 10 on v5e)."""
+    return _gather_rows_mixed_impl(extra, aux16, perm)
+
+
+def _gather_mixed_perm_fwd(extra, aux16, perm):
+    assert perm.shape[0] == extra.shape[0], "perm must be a full permutation"
+    return (
+        _gather_rows_mixed_impl(extra, aux16, perm),
+        (perm, aux16.shape),
+    )
+
+
+def _gather_mixed_perm_bwd(res, grads):
+    perm, aux_shape = res
+    g_extra, _ = grads
+    n = perm.shape[0]
+    # inverse permutation via one 2-column sort: sorting (perm, iota) by
+    # perm yields (iota, inv) since perm hits every value exactly once
+    iota = jax.lax.iota(jnp.int32, n)
+    _, inv = jax.lax.sort((perm, iota), num_keys=1, is_stable=False)
+    d_extra = gather_rows_u16(g_extra, inv)
+    return (
+        d_extra,
+        np.zeros(aux_shape, jax.dtypes.float0),
+        np.zeros(perm.shape, jax.dtypes.float0),
+    )
+
+
+gather_rows_mixed_perm.defvjp(_gather_mixed_perm_fwd, _gather_mixed_perm_bwd)
+
+
+@jax.custom_vjp
 def fast_gather_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Differentiable row gather table[idx] with the u16 fast path.
 
@@ -207,6 +246,28 @@ def _fast_gather_bwd(res, g):
 
 
 fast_gather_rows.defvjp(_fast_gather_fwd, _fast_gather_bwd)
+
+
+@jax.custom_vjp
+def fast_gather_rows_perm(table: jnp.ndarray, perm: jnp.ndarray) -> jnp.ndarray:
+    """fast_gather_rows for a PERMUTATION index: the VJP is the inverse-
+    permutation gather (sort + u16 gather) instead of a scatter-add."""
+    return gather_rows_u16(table, perm)
+
+
+def _fast_gather_perm_fwd(table, perm):
+    assert perm.shape[0] == table.shape[0], "perm must be a full permutation"
+    return gather_rows_u16(table, perm), perm
+
+
+def _fast_gather_perm_bwd(perm, g):
+    n = perm.shape[0]
+    iota = jax.lax.iota(jnp.int32, n)
+    _, inv = jax.lax.sort((perm, iota), num_keys=1, is_stable=False)
+    return gather_rows_u16(g, inv), np.zeros(perm.shape, jax.dtypes.float0)
+
+
+fast_gather_rows_perm.defvjp(_fast_gather_perm_fwd, _fast_gather_perm_bwd)
 
 
 def grid_dims(width: int, height: int) -> tuple[int, int]:
@@ -678,7 +739,9 @@ def sorted_expansion(
         prep, width, height, k_cap, cull=cull, geo1=geo1, geo2=geo2
     )
     sorted_tile, g_sorted = _tile_sort(tile, g_of_k, num_tiles, n)
-    extra_sorted = fast_gather_rows(extra, order) if extra is not None else None
+    extra_sorted = (
+        fast_gather_rows_perm(extra, order) if extra is not None else None
+    )
     return sorted_tile, g_sorted, order, total, kept, extra_sorted
 
 

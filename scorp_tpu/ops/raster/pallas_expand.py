@@ -20,9 +20,11 @@ with one kernel that maps key slots directly to their source gaussians:
     table (Mosaic-legal: 128-aligned lane offsets);
   * the key->gaussian map inside the block is a [256, 128] monotone
     compare matrix; its sublane difference is the one-hot selector, and
-    ONE [16,256]x[256,128] HIGHEST matmul (exact for f32: 0/1 one-hot)
-    gathers every per-gaussian attribute — including its depth rank,
-    carried as a plain iota column;
+    TWO bf16 [16,256]x[256,128] matmuls gather every per-gaussian
+    attribute exactly: integer routing rows are laid out < 2^16 (starts
+    mod 2^16, depth rank as hi/lo bytes), which bf16x2 reconstructs
+    bit-exactly; the f32 cull geometry rides the same two passes at
+    ~2^-17 relative, absorbed by the keep test's tolerance;
   * the exact alpha>=1/255 ellipse-vs-tile cull runs in f32 (the XLA path
     had to pack the conic to bf16 to ride its integer cumsums; here the
     tolerance shrinks from 1%+0.9 to f32 rounding, so strictly more
@@ -136,19 +138,22 @@ def _expand_kernel(
             le_next = (next_row <= kpos_col).astype(jnp.float32)
             one_hot = le - le_next                                  # 0/1
 
-            # gather all 16 attribute columns with an exact one-hot matmul.
-            # bf16x3 instead of HIGHEST: the selector is 0/1 (exact in
-            # bf16) and the window values split exactly into three bf16
-            # components covering all 24 f32 mantissa bits, so three
-            # single-pass bf16 contractions reproduce the f32 gather
-            # bit-exactly at half HIGHEST's six passes. (Rows 0/12 are the
+            # gather all 16 attribute columns with a one-hot matmul.
+            # bf16x2 instead of bf16x3: the selector is 0/1 (exact in bf16)
+            # and every INTEGER routing row is laid out < 2^16 (starts mod
+            # 2^16, rank split into hi/lo bytes), so two bf16 components
+            # cover all their mantissa bits — TWO single-pass contractions
+            # reconstruct them bit-exactly (integers < 2^16 split exactly:
+            # hi = nearest-bf16 leaves an integer residual |lo| <= 2^7).
+            # The six cull-geometry rows are f32-valued and only
+            # ~2^-17-relative accurate through bf16x2; the keep test's
+            # tolerance absorbs that (see _keep). (Rows 0/12 are the
             # clamped compare values read directly from the window, never
             # through the matmul.)
             wv = win[...]
             w1 = wv.astype(jnp.bfloat16)
             r1 = wv - w1.astype(jnp.float32)
             w2 = r1.astype(jnp.bfloat16)
-            w3 = (r1 - w2.astype(jnp.float32)).astype(jnp.bfloat16)
             oh = one_hot.astype(jnp.bfloat16)
 
             def _sel(a):
@@ -162,16 +167,22 @@ def _expand_kernel(
                     precision=jax.lax.Precision.DEFAULT,
                 )
 
-            attrs = _sel(w1) + _sel(w2) + _sel(w3)            # [16, 128]
+            attrs = _sel(w1) + _sel(w2)                       # [16, 128]
 
-            start_g = jnp.round(attrs[1:2, :]).astype(jnp.int32)
+            start_mod = jnp.round(attrs[1:2, :]).astype(jnp.int32)
             count = jnp.round(attrs[2:3, :]).astype(jnp.int32)
             x0 = jnp.round(attrs[3:4, :]).astype(jnp.int32)
             y0 = jnp.round(attrs[4:5, :]).astype(jnp.int32)
             span = jnp.maximum(jnp.round(attrs[5:6, :]).astype(jnp.int32), 1)
-            rank = jnp.round(attrs[15:16, :]).astype(jnp.int32)
+            rank = (
+                jnp.round(attrs[13:14, :]).astype(jnp.int32) << 8
+            ) | jnp.round(attrs[14:15, :]).astype(jnp.int32)
 
-            local = kpos - start_g                            # [1, 128]
+            # local = kpos - starts[g] mod 2^16, exact because the one-hot
+            # guarantees 0 <= kpos - starts[g] < count <= 2^16 (asserted by
+            # the caller), and the raw difference lies in (-2^16, 2^16)
+            local_raw = (kpos & 0xFFFF) - start_mod           # [1, 128]
+            local = local_raw + jnp.where(local_raw < 0, 1 << 16, 0)
             # i32 div via f32 reciprocal + one exact correction step (the
             # f32 quotient of ints < 2^20 is off by at most 1)
             qy = jnp.floor(
@@ -236,9 +247,13 @@ def _expand_kernel(
                     q_min = jnp.where(inside, 0.0, q_min)
                     qabs = jnp.where(inside, 0.0, qabs)
                     pd = (ca > 0.0) & (cc > 0.0) & (ca * cc - cb * cb > 0.0)
-                    # f32 tolerance: the compositor evaluates the same form
-                    # in f32 with different association — a few ulps of qabs
-                    return ~pd | (q_min <= t2 + 1e-5 * qabs + 1e-3)
+                    # tolerance tracks the bf16x2 one-hot gather: each geo
+                    # coefficient is ~2^-17-relative accurate, so q carries
+                    # ~3*2^-17*qabs of error plus the f32 association ulps;
+                    # keep is the conservative direction (extra kept keys
+                    # are re-tested per pixel by the compositor), and this
+                    # stays far inside the XLA golden cull's 1%+0.9 slack
+                    return ~pd | (q_min <= t2 + 4e-5 * qabs + 2e-3)
 
                 keep = _keep(6)
                 if cull2:
@@ -299,7 +314,7 @@ def expand_sorted_keys(
     # boundaries for the cross-program prefetch handoff
     assert BLOCKS_PER_PROG % DMA_DEPTH == 0
 
-    from .common import gather_rows_mixed
+    from .common import gather_rows_mixed_perm
 
     order = jnp.argsort(jnp.where(prep.valid, prep.depth, jnp.inf), stable=True)
 
@@ -325,7 +340,7 @@ def expand_sorted_keys(
         extra_in = jnp.zeros((n, 1), jnp.float32)
     else:
         extra_in = extra
-    extra_sorted, aux_sorted = gather_rows_mixed(extra_in, aux16, order)
+    extra_sorted, aux_sorted = gather_rows_mixed_perm(extra_in, aux16, order)
     if extra is None:
         extra_sorted = None
 
@@ -356,11 +371,18 @@ def expand_sorted_keys(
         cull_cols = [zeros] * 6
 
     f = lambda v: v.astype(jnp.float32)  # noqa: E731
-    iota = jnp.arange(n, dtype=jnp.float32)
+    iota32 = jnp.arange(n, dtype=jnp.int32)
     zeros = jnp.zeros(n, jnp.float32)
-    starts_next = jnp.concatenate(
-        [starts[1:], jnp.full(1, 1 << 24, jnp.int32)]
-    )
+    # the LAST gaussian's compare-hi is `total`, NOT 2^24: keys in
+    # [total, k_cap) must select NO gaussian (all-zero one-hot -> count 0
+    # -> dead), because the mod-2^16 local would alias them back into the
+    # last gaussian's [0, count) range once kpos - starts[-1] >= 2^16
+    starts_next = jnp.concatenate([starts[1:], total[None]])
+    # every integer row that rides the one-hot matmul must be < 2^16 so the
+    # kernel's bf16x2 gather reconstructs it exactly: starts go in mod 2^16
+    # (the kernel recovers local = kpos - starts[g] mod 2^16, exact while
+    # counts <= 2^16), the depth rank as hi/lo bytes
+    assert num_tiles < (1 << 16), "rect areas must fit the mod-2^16 routing"
     # compare rows 0/12 are plain f32 VALUES clamped at 2^24 (exact in f32,
     # and > every in-range kpos since k_cap <= 2^24): gaussians whose keys
     # all lie past the capacity can never match, which is exactly right —
@@ -369,11 +391,11 @@ def expand_sorted_keys(
     cmp_max = jnp.int32(1 << 24)
     cols = [
         f(jnp.minimum(starts, cmp_max)),                      # 0 compare lo
-        f(starts), f(counts), f(x0), f(y0), f(span),          # 1-5
+        f(starts & 0xFFFF), f(counts), f(x0), f(y0), f(span),  # 1-5
         *cull_cols,                                           # 6-11
         f(jnp.minimum(starts_next, cmp_max)),                 # 12 compare hi
-        zeros, zeros,                                         # 13-14 pad
-        iota,                                                 # 15 depth rank
+        f(iota32 >> 8), f(iota32 & 0xFF),                     # 13-14 rank hi/lo
+        zeros,                                                # 15 pad
     ]
     if cull2:
         cols += [*_geo_rows(1), zeros, zeros]                 # 16-21 + pad
@@ -386,9 +408,9 @@ def expand_sorted_keys(
     big = jnp.full(pad, float(1 << 24), jnp.float32)
     pad_cols = jnp.zeros((n_cols, pad), jnp.float32)
     pad_cols = pad_cols.at[0].set(big)
-    pad_cols = pad_cols.at[1].set(big)
     # starts_next of pad rows must also be "infinite" (le - le_next must be
-    # 0, not -1, on pad rows)
+    # 0, not -1, on pad rows); matmul rows need no pad values — unselected
+    # lanes contribute exactly 0 through the one-hot
     pad_cols = pad_cols.at[12].set(big)
     table = jnp.concatenate([table, pad_cols], axis=1)        # [cols, N_pad]
 

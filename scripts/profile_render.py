@@ -61,7 +61,7 @@ if __name__ == "__main__":
 
     def sort_fn(xyz, shs, scales, quats, opacity):
         prep = prep_fn(xyz, shs, scales, quats, opacity)
-        packed, order, total, kept, bits_g = pe.expand_sorted_keys(
+        packed, order, total, kept, bits_g, _ = pe.expand_sorted_keys(
             prep, w, h, cfg.max_keys, cull=True)
         return jax.lax.sort(packed, is_stable=False), order
 
@@ -99,7 +99,7 @@ if __name__ == "__main__":
     prep = jax.jit(prep_fn)(*args)
     print(f"valid gaussians: {int(jnp.sum(prep.valid))} / {xyz.shape[0]}")
 
-    _, _, total, kept, _ = jax.jit(expand_fn)(*args)
+    _, _, total, kept, _, _ = jax.jit(expand_fn)(*args)
     print(f"ellipse-tile cull: keep {int(kept)} / {int(total)} "
           f"({100.0 * int(kept) / max(int(total), 1):.1f}%)")
     n_chunks = np.ceil(((np.asarray(bins.tile_start) % 128) + counts) / cfg.pallas_chunk)

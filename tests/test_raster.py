@@ -510,6 +510,36 @@ class TestGatherRowsMixed:
         np.add.at(expected, np.asarray(idx), np.asarray(w))
         np.testing.assert_allclose(np.asarray(g), expected, rtol=1e-6)
 
+    def test_perm_variant_value_and_grad(self):
+        from scorp_tpu.ops.raster.common import (
+            fast_gather_rows_perm,
+            gather_rows_mixed_perm,
+        )
+
+        rng = np.random.default_rng(12)
+        n, c = 96, 7
+        extra = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+        aux16 = jnp.asarray(rng.integers(0, 1 << 16, size=(n, 5), dtype=np.uint16))
+        perm = jnp.asarray(rng.permutation(n).astype(np.int32))
+
+        ex, aux = jax.jit(gather_rows_mixed_perm)(extra, aux16, perm)
+        np.testing.assert_array_equal(np.asarray(ex), np.asarray(extra)[np.asarray(perm)])
+        np.testing.assert_array_equal(np.asarray(aux), np.asarray(aux16)[np.asarray(perm)])
+
+        # permutation VJP: d_extra = w unpermuted (exact: inverse gather)
+        w = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+        g = jax.grad(
+            lambda e: jnp.sum(gather_rows_mixed_perm(e, aux16, perm)[0] * w)
+        )(extra)
+        expected = np.zeros((n, c), np.float32)
+        expected[np.asarray(perm)] = np.asarray(w)
+        np.testing.assert_array_equal(np.asarray(g), expected)
+
+        g2 = jax.grad(
+            lambda e: jnp.sum(fast_gather_rows_perm(e, perm) * w)
+        )(extra)
+        np.testing.assert_array_equal(np.asarray(g2), expected)
+
 
 class TestTileSort:
     def test_packed_equals_two_column(self):

@@ -745,6 +745,26 @@ def sorted_expansion(
     return sorted_tile, g_sorted, order, total, kept, extra_sorted
 
 
+def conic_chol(conic: jnp.ndarray) -> jnp.ndarray:
+    """[N, 3] Cholesky factor (l11, l21, l22) of the conic [[A,B],[B,C]].
+
+    A dx^2 + 2B dx dy + C dy^2 = u^2 + v^2 with u = l11 dx + l21 dy and
+    v = l22 dy, so the compositor kernels evaluate the Gaussian exponent in
+    8 VPU ops instead of 11 AND the quadratic is non-negative by
+    construction (the power<=0 validity test disappears; the conic is PSD
+    after the +0.3 low-pass dilation, so the factorization is exact).
+    Differentiable: d(l..) flows back to d(conic) through the sqrt chain
+    outside the custom-VJP boundary.
+    """
+    a = jnp.maximum(conic[:, 0], 1e-12)
+    b = conic[:, 1]
+    c = conic[:, 2]
+    l11 = jnp.sqrt(a)
+    l21 = b / l11
+    l22 = jnp.sqrt(jnp.maximum(c - l21 * l21, 1e-12))
+    return jnp.stack([l11, l21, l22], axis=1)
+
+
 def bin_stream(
     prep: Preprocessed, width: int, height: int, cfg: RasterConfig,
     interpret: bool = False,
@@ -763,13 +783,14 @@ def bin_stream(
     k2 = cfg.stream_cap
 
     # depth-ordered per-gaussian table [N, 10], permuted inside the
-    # expansion's single N-row gather. No id column: i32 bit patterns
+    # expansion's single N-row gather. Rows 2-4 carry the conic CHOLESKY
+    # factor (conic_chol), not the conic. No id column: i32 bit patterns
     # bitcast into f32 do NOT survive TPU XLA (denormal flushing in copy
     # fusions zeroes them, fusion/scale-dependently).
     extra = jnp.concatenate(
         [
             prep.xy,
-            prep.conic,
+            conic_chol(prep.conic),
             prep.color,
             prep.opacity[:, None],
             prep.depth[:, None],

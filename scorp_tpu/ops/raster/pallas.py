@@ -39,6 +39,7 @@ from .common import (
     DATA_ROWS_PADDED,
     RasterConfig,
     _tile_bounds,
+    conic_chol,
     gather_rows_u16_t,
     grid_dims,
     preprocess,
@@ -225,12 +226,14 @@ def rasterize_pallas(
         scale_modifier=scale_modifier, screen_deltas=screen_deltas, alive=alive,
     )
     # integer routing (no gradients) + the differentiable payload table,
-    # depth-ordered inside the expansion's single N-row gather (VJP:
-    # N-sized scatter-add through gather_rows_mixed)
+    # depth-ordered inside the expansion's single N-row gather (VJP: one
+    # inverse-permutation gather through gather_rows_mixed_perm). Rows 2-4
+    # carry the conic Cholesky factor; d(l..) chains back to d(conic)
+    # through conic_chol's sqrt chain automatically.
     prep_sg = jax.lax.stop_gradient(prep)
     extra = jnp.concatenate(
         [
-            prep.xy, prep.conic, prep.color,
+            prep.xy, conic_chol(prep.conic), prep.color,
             prep.opacity[:, None], prep.depth[:, None],
         ],
         axis=1,

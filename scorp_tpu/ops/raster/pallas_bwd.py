@@ -234,26 +234,32 @@ def _bwd_kernel(
 
             gx = cur[0:1, :]
             gy = cur[1:2, :]
-            ca = cur[2:3, :]
-            cb = cur[3:4, :]
-            cc = cur[4:5, :]
+            # rows 2-4: conic Cholesky factor (see common.conic_chol)
+            l11 = cur[2:3, :]
+            l21 = cur[3:4, :]
+            l22 = cur[4:5, :]
             colors = cur[5:8, :]
             opa = cur[8:9, :]
             depth = cur[9:10, :]
 
             dx = gx - (tx_px + px_loc)               # [p, C]
             dy = gy - (ty_px + py_loc)
+            # splat-space coordinates (su, sv) = L^T (dx, dy): power is
+            # their negative half norm. (Distinct from `u` below, the
+            # per-pixel color cotangent.)
+            su = l11 * dx + l21 * dy
+            sv = l22 * dy
             if MXU_POWER:  # match the forward's alpha bit-for-bit
                 coefs = _power_coefs(cur, tx_px, ty_px, chunk)
                 power = _mm(basis, coefs, ((1,), (0,)))        # [p, C]
             else:
-                power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+                power = -0.5 * (su * su + sv * sv)   # <= 0 by construction
             big_g = jnp.exp(power)
             alpha_u = opa * big_g
             alpha = jnp.minimum(ALPHA_MAX, alpha_u)
             kpos = ci * chunk + lane         # [1, C] position relative to base
             in_seg = (kpos >= head) & (kpos < head + count)
-            amask = in_seg & (power <= 0.0) & (alpha >= ALPHA_MIN)
+            amask = in_seg & (alpha >= ALPHA_MIN)
             alpha_eff = jnp.where(amask, alpha, 0.0)
 
             include = in_seg & ((kpos - head) < n_con_col)            # [p, C]
@@ -281,11 +287,19 @@ def _bwd_kernel(
             dpow = alpha_u * dalpha                                    # [p, C]
             d_color = _mm(g_c, w, ((1,), (0,)))                        # [3, C]
             d_depth = _mm(g_d, w, ((1,), (0,)))                        # [1, C]
-            d_ca = jnp.sum(-0.5 * dx * dx * dpow, axis=0, keepdims=True)
-            d_cb = jnp.sum(-(dx * dy) * dpow, axis=0, keepdims=True)
-            d_cc = jnp.sum(-0.5 * dy * dy * dpow, axis=0, keepdims=True)
-            d_gx = jnp.sum(-(ca * dx + cb * dy) * dpow, axis=0, keepdims=True)
-            d_gy = jnp.sum(-(cc * dy + cb * dx) * dpow, axis=0, keepdims=True)
+            # L-form chain: dpower/dl11 = -su dx, /dl21 = -su dy,
+            # /dl22 = -sv dy, /dx = -su l11, /dy = -(su l21 + sv l22); the
+            # mean gradients need only the REDUCED Σ su·dpow and Σ sv·dpow,
+            # so the per-key l.. multiplies run on [1, C] after reduction
+            ud = su * dpow
+            vd = sv * dpow
+            r_u = jnp.sum(ud, axis=0, keepdims=True)                   # [1, C]
+            r_v = jnp.sum(vd, axis=0, keepdims=True)
+            d_l11 = -jnp.sum(ud * dx, axis=0, keepdims=True)
+            d_l21 = -jnp.sum(ud * dy, axis=0, keepdims=True)
+            d_l22 = -jnp.sum(vd * dy, axis=0, keepdims=True)
+            d_gx = -(l11 * r_u)
+            d_gy = -(l21 * r_u + l22 * r_v)
             d_opa = jnp.sum(big_g * dalpha, axis=0, keepdims=True)
 
             # one [16, chunk] gradient block per GLOBAL chunk block B; the
@@ -296,7 +310,7 @@ def _bwd_kernel(
             # masked by in_seg), so accumulating the straddling tiles'
             # blocks is a plain add.
             g16 = jnp.concatenate(
-                [d_gx, d_gy, d_ca, d_cb, d_cc, d_color, d_opa, d_depth,
+                [d_gx, d_gy, d_l11, d_l21, d_l22, d_color, d_opa, d_depth,
                  jnp.zeros((6, chunk), jnp.float32)],
                 axis=0,
             )                                                  # [16, C]

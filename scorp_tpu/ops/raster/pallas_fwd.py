@@ -114,9 +114,13 @@ def _power_coefs(cur, tx_px, ty_px, chunk: int) -> jnp.ndarray:
     """
     glx = cur[0:1, :] - tx_px          # [1, C]
     gly = cur[1:2, :] - ty_px
-    ca = cur[2:3, :]
-    cb = cur[3:4, :]
-    cc = cur[4:5, :]
+    # rows 2-4 are the conic Cholesky factor; reconstruct A, B, C ([1, C])
+    l11 = cur[2:3, :]
+    l21 = cur[3:4, :]
+    l22 = cur[4:5, :]
+    ca = l11 * l11
+    cb = l11 * l21
+    cc = l21 * l21 + l22 * l22
     c0 = -0.5 * (ca * glx * glx + cc * gly * gly) - cb * glx * gly
     c_px = ca * glx + cb * gly
     c_py = cc * gly + cb * glx
@@ -288,19 +292,22 @@ def _fwd_kernel(
                 coefs = _power_coefs(cur, tx_px, ty_px, chunk)
                 power = _power_mm(basis, coefs)              # [p, C] MXU
             else:
+                # rows 2-4 hold the conic CHOLESKY factor (common.conic_chol):
+                # power = -0.5 (u^2 + v^2), u = l11 dx + l21 dy, v = l22 dy —
+                # 8 VPU ops, and power <= 0 by construction (the PSD validity
+                # test the conic form needed disappears)
                 pix_row = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
                 pix_x = tx_px + (pix_row % TILE).astype(jnp.float32)
                 pix_y = ty_px + (pix_row // TILE).astype(jnp.float32)
                 dx = cur[0:1, :] - pix_x
                 dy = cur[1:2, :] - pix_y
-                power = (
-                    -0.5 * (cur[2:3, :] * dx * dx + cur[4:5, :] * dy * dy)
-                    - cur[3:4, :] * dx * dy
-                )
+                u = cur[2:3, :] * dx + cur[3:4, :] * dy
+                v = cur[4:5, :] * dy
+                power = -0.5 * (u * u + v * v)
             opa = cur[8:9, :]
             alpha = jnp.minimum(ALPHA_MAX, opa * jnp.exp(power))
             kpos = ci * chunk + lane  # position relative to `base`
-            valid = (kpos >= head) & (kpos < head + count) & (power <= 0.0)
+            valid = (kpos >= head) & (kpos < head + count)
             alpha = jnp.where(valid & (alpha >= ALPHA_MIN), alpha, 0.0)
 
             # exclusive running (1-alpha) product along the chunk, in log

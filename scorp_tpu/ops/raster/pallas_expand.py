@@ -51,11 +51,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .common import TILE, Preprocessed, grid_dims
 
-WINDOW = 256       # gaussians per block window (>= 128-aligned floor + 129)
-BLOCKS_PER_PROG = 32
-# window DMA slots: per-block compute is ~100-200 ns while an HBM window
-# fetch costs ~0.5-1 us, so a 2-slot pipeline stalls on latency every
-# block; 4 slots give each fetch ~3 compute bodies of lookahead
+# Key blocks batched per gaussian window: one [cols, W] x [W, KB*128]
+# one-hot contraction serves KB consecutive key blocks, amortizing the MXU
+# pipeline fill that dominates a single [cols, 256] x [256, 128] pass.
+# Coverage proof: starts is strictly increasing over the valid prefix (one
+# key minimum per live gaussian), so g_lo advances at most 128 per key
+# block; block kb of a superblock needs gaussians up to
+# g_lo[sb*KB] + 128*kb + 128 <= floor128(g_lo[sb*KB]) + 127 + 384 + 128
+# < base + 640 = base + WINDOW. Keys at/past `total` select nothing (the
+# last compare-hi row is `total`), so tail superblocks need no coverage.
+KB = 4
+KEYS = 128 * KB    # keys per superblock
+WINDOW = 128 * (KB + 1)
+BLOCKS_PER_PROG = 32   # key blocks per program (KB superblocks each)
+SUPERS_PER_PROG = BLOCKS_PER_PROG // KB
+# window DMA slots: per-superblock compute is ~0.5 us while an HBM window
+# fetch costs ~0.5-1 us; 4 slots give each fetch ~3 compute bodies of
+# lookahead
 DMA_DEPTH = 4
 PALLAS_EXPAND = True  # master switch (XLA core path when off)
 
@@ -66,9 +78,9 @@ def packable(n: int, num_tiles: int) -> tuple[bool, int]:
 
 
 def _expand_kernel(
-    g_lo_ref,          # [n_blocks_pad] i32 scalar prefetch
+    g_lo_ref,          # [n_supers_pad] i32 scalar prefetch (per superblock)
     table_ref,         # [cols, N_pad] f32 ANY
-    out_ref,           # [BPP, 128] i32 VMEM block
+    out_ref,           # [SUPERS_PER_PROG, KEYS] i32 VMEM block
     win_vmem,          # [DMA_DEPTH, cols, WINDOW] f32
     sem,               # [DMA_DEPTH]
     *,
@@ -77,64 +89,64 @@ def _expand_kernel(
     bits_g: int,
     cull: bool,
     cull2: bool,       # second cull ellipse in rows 16-21 (surfel union)
-    blocks: int,       # blocks handled by this program
-    n_blocks: int,     # total live blocks (rest of the grid writes sentinel)
+    supers: int,       # superblocks handled by this program
+    n_supers: int,     # total live superblocks (rest writes sentinel)
 ):
     pid = pl.program_id(0)
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, KEYS), 1)
 
-    def _win_base(b):
-        return (g_lo_ref[b] // 128) * 128
+    def _win_base(s):
+        return (g_lo_ref[s] // 128) * 128
 
-    def _copy(b, slot):
-        base = pl.multiple_of(_win_base(b), 128)
+    def _copy(s, slot):
+        base = pl.multiple_of(_win_base(s), 128)
         return pltpu.make_async_copy(
             table_ref.at[:, pl.ds(base, WINDOW)], win_vmem.at[slot], sem.at[slot]
         )
 
-    b0 = pid * blocks
+    s0 = pid * supers
     depth = DMA_DEPTH
     look = depth - 1
 
     # Pipeline priming — pid 0 ONLY starts the first `look` windows. Every
     # later program's first windows were started by its PREDECESSOR's last
     # `look` iterations (slot c % depth is globally consistent because
-    # blocks % depth == 0). Priming in every program would enqueue the same
+    # supers % depth == 0). Priming in every program would enqueue the same
     # DMA twice against one wait, leaving the semaphore non-zero at kernel
     # exit -> TPU abort (interpret mode does not check semaphore drainage,
     # so only the device catches it).
     for j in range(look):
-        @pl.when((pid == 0) & (j < n_blocks))
+        @pl.when((pid == 0) & (j < n_supers))
         def _(j=j):
-            _copy(b0 + j, j % depth).start()
+            _copy(s0 + j, j % depth).start()
 
-    for i in range(blocks):
-        b = b0 + i
+    for i in range(supers):
+        s = s0 + i
 
-        @pl.when(b + look < n_blocks)
-        def _(b=b, i=i):
-            _copy(b + look, (i + look) % depth).start()
+        @pl.when(s + look < n_supers)
+        def _(s=s, i=i):
+            _copy(s + look, (i + look) % depth).start()
 
-        @pl.when(b < n_blocks)
-        def _(b=b, i=i):
-            _copy(b, i % depth).wait()
+        @pl.when(s < n_supers)
+        def _(s=s, i=i):
+            _copy(s, i % depth).wait()
             win = win_vmem.at[i % depth]
-            kpos = b * 128 + lane128                         # [1, 128]
+            kpos = s * KEYS + lane                           # [1, KEYS]
 
             # one-hot selector: gaussian g owns key iff
             # starts[g] <= kpos < starts[g+1]. Built transpose-free: keys
-            # along sublanes ([128, 1] iota), window starts along lanes
+            # along sublanes ([KEYS, 1] iota), window starts along lanes
             # (the native [1, W] row), so the compare broadcasts to
-            # [128, W] with no relayout. The compare runs on f32 VALUES
+            # [KEYS, W] with no relayout. The compare runs on f32 VALUES
             # (rows 0/12 hold min(starts, 2^24) — exact, and every real
             # kpos < k_cap <= 2^24): i32 bit patterns bitcast into the f32
             # table do not survive TPU XLA's denormal flushing.
             kpos_col = (
-                b * 128 + jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)
+                s * KEYS + jax.lax.broadcasted_iota(jnp.int32, (KEYS, 1), 0)
             ).astype(jnp.float32)
             starts_row = win[0:1, :]
             next_row = win[12:13, :]
-            le = (starts_row <= kpos_col).astype(jnp.float32)       # [128, W]
+            le = (starts_row <= kpos_col).astype(jnp.float32)       # [KEYS, W]
             le_next = (next_row <= kpos_col).astype(jnp.float32)
             one_hot = le - le_next                                  # 0/1
 
@@ -167,7 +179,7 @@ def _expand_kernel(
                     precision=jax.lax.Precision.DEFAULT,
                 )
 
-            attrs = _sel(w1) + _sel(w2)                       # [16, 128]
+            attrs = _sel(w1) + _sel(w2)                       # [16, KEYS]
 
             start_mod = jnp.round(attrs[1:2, :]).astype(jnp.int32)
             count = jnp.round(attrs[2:3, :]).astype(jnp.int32)
@@ -181,7 +193,7 @@ def _expand_kernel(
             # local = kpos - starts[g] mod 2^16, exact because the one-hot
             # guarantees 0 <= kpos - starts[g] < count <= 2^16 (asserted by
             # the caller), and the raw difference lies in (-2^16, 2^16)
-            local_raw = (kpos & 0xFFFF) - start_mod           # [1, 128]
+            local_raw = (kpos & 0xFFFF) - start_mod           # [1, KEYS]
             local = local_raw + jnp.where(local_raw < 0, 1 << 16, 0)
             # i32 div via f32 reciprocal + one exact correction step (the
             # f32 quotient of ints < 2^20 is off by at most 1)
@@ -264,12 +276,12 @@ def _expand_kernel(
             packed = jnp.where(
                 live, (tile << bits_g) | rank, (num_tiles << bits_g) | 1
             )
-            out_ref[i, :] = packed.reshape(1, 128)[0, :]
+            out_ref[i, :] = packed.reshape(1, KEYS)[0, :]
 
-        @pl.when(b >= n_blocks)
+        @pl.when(s >= n_supers)
         def _(i=i):
             out_ref[i, :] = jnp.full(
-                (1, 128), (num_tiles << bits_g) | 1, jnp.int32
+                (1, KEYS), (num_tiles << bits_g) | 1, jnp.int32
             )[0, :]
 
 
@@ -310,9 +322,9 @@ def expand_sorted_keys(
     assert ok, "packed sort key exceeds 31 bits — use the XLA expansion"
     assert k_cap % 128 == 0
     assert k_cap <= 1 << 24  # f32-value key-position compares must be exact
-    # slot c % DMA_DEPTH must be globally consistent across program
+    # slot c % DMA_DEPTH must be globally consistent across program (super)
     # boundaries for the cross-program prefetch handoff
-    assert BLOCKS_PER_PROG % DMA_DEPTH == 0
+    assert SUPERS_PER_PROG % DMA_DEPTH == 0
 
     from .common import gather_rows_mixed_perm
 
@@ -415,9 +427,10 @@ def expand_sorted_keys(
     table = jnp.concatenate([table, pad_cols], axis=1)        # [cols, N_pad]
 
     n_blocks = k_cap // 128
-    bpp = BLOCKS_PER_PROG
-    n_progs = -(-n_blocks // bpp)
-    blocks_pad = n_progs * bpp
+    n_supers = -(-n_blocks // KB)
+    spp = SUPERS_PER_PROG
+    n_progs = -(-n_supers // spp)
+    supers_pad = n_progs * spp
     # The kernel consumes g_lo only through its 128-aligned window base
     # (g_lo // 128) * 128, and for a nondecreasing `starts` the coarse
     # search over starts[::128] returns exactly g_lo // 128:
@@ -428,23 +441,24 @@ def expand_sorted_keys(
     # a 264k-element merge sort + cumsum (~1.9 ms at 250k/14336 on v5e) to
     # a 16k-element merge (~0.1 ms; measured vs scan_unrolled, whose 11
     # dispatch steps cost ~1 ms more despite the VMEM-resident 8 KB table).
+    # One window per SUPERBLOCK of KB key blocks (coverage proof at KB).
     coarse = starts[::128]
     win_blk = (
         jnp.searchsorted(
-            coarse, jnp.arange(n_blocks, dtype=jnp.int32) * 128, side="right",
+            coarse, jnp.arange(n_supers, dtype=jnp.int32) * KEYS, side="right",
             method="sort",
         ).astype(jnp.int32)
         - 1
     )
     g_lo = jnp.clip(win_blk, 0, (n - 1) // 128) * 128
-    g_lo = jnp.pad(g_lo, (0, blocks_pad - n_blocks))
+    g_lo = jnp.pad(g_lo, (0, supers_pad - n_supers))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_progs,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((bpp, 128), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((spp, KEYS), lambda i, *_: (i, 0), memory_space=pltpu.VMEM)
         ],
         scratch_shapes=[
             pltpu.VMEM((DMA_DEPTH, n_cols, WINDOW), jnp.float32),
@@ -453,15 +467,15 @@ def expand_sorted_keys(
     )
     kernel = functools.partial(
         _expand_kernel, tiles_x=tiles_x, num_tiles=num_tiles, bits_g=bits_g,
-        cull=cull, cull2=cull2, blocks=bpp, n_blocks=n_blocks,
+        cull=cull, cull2=cull2, supers=spp, n_supers=n_supers,
     )
     (packed,) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((blocks_pad, 128), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((supers_pad, KEYS), jnp.int32)],
         interpret=interpret,
     )(g_lo, table)
-    packed = packed.reshape(blocks_pad * 128)[:k_cap]
+    packed = packed.reshape(supers_pad * KEYS)[:k_cap]
     sentinel = (num_tiles << bits_g) | 1
     kept = jnp.sum((packed != sentinel).astype(jnp.int32))
     return packed, order, total, kept, bits_g, extra_sorted

@@ -68,24 +68,6 @@ ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 
 
-def _rev_scan_lanes(x: jnp.ndarray, chunk: int, op, fill: float) -> jnp.ndarray:
-    """Reverse (suffix) inclusive scan along lanes via Hillis-Steele.
-
-    (Kept for the surfel kernels; the 3DGS backward now reconstructs
-    transmittance in log space via one MXU triangular contraction.)
-    """
-    import math
-
-    p, c = x.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (p, c), 1)
-    steps = int(math.log2(chunk))
-    assert 2**steps == chunk
-    for s in [1 << i for i in range(steps)]:
-        rolled = pltpu.roll(x, chunk - s, 1)  # element i takes value from i+s
-        x = op(x, jnp.where(col < c - s, rolled, fill))
-    return x
-
-
 def _rev_cumsum_mxu(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
     """Suffix-inclusive sum along lanes as one MXU contraction (~2x cheaper
     than the log2(C)-step Hillis-Steele on the VPU; precision strategy

@@ -2,16 +2,16 @@
 
 Mirrors pallas_fwd.py's per-tile streaming design with the surfel math of
 surfel.py: the ray-splat homography UV solve runs scalarized on [P, C]
-blocks, transmittance via Hillis-Steele cumulative products, and the full
-7-channel allmap accumulated per chunk:
+blocks, transmittance via the log-space triangular MXU contraction
+(pallas_fwd._scan_mm), and the full 7-channel allmap accumulated per chunk:
 
   * expected depth: Σ w·z with z the per-(pixel,key) intersection depth;
   * view-space normals: one [3,C]x[P,C] MXU contraction;
   * median depth: the reference's "last contributor whose entry
     transmittance exceeds 0.5" — the in-chunk candidate is selected with a
     kpos-argmax + one-hot sum (kpos is unique per lane);
-  * distortion Σ w(m²A + D2 − 2mD): three Hillis-Steele prefix sums carry
-    the (A, D, D2) accumulators across chunks.
+  * distortion Σ w(m²A + D2 − 2mD): telescoped into running chunk sums of
+    (w, wm, wm²) — no prefix scans at all.
 
 Training keeps the autodiff XLA path (surfel.py); this kernel serves
 render_2dgs-style evaluation. Stream rows (24, sublane-aligned):
@@ -23,7 +23,6 @@ surfel.surfel_adj), 9-11 zrow, 12-13 center xy, 14-16 color, 17 opacity,
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -55,17 +54,6 @@ from .surfel import (
 )
 
 SURFEL_ROWS = 24
-
-
-def _masked_cumsum_lanes(x: jnp.ndarray, chunk: int) -> jnp.ndarray:
-    """Inclusive cumulative sum along lanes (Hillis-Steele, zero fill)."""
-    p, c = x.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (p, c), 1)
-    steps = int(math.log2(chunk))
-    for s in [1 << i for i in range(steps)]:
-        rolled = pltpu.roll(x, s, 1)
-        x = x + jnp.where(col >= s, rolled, 0.0)
-    return x
 
 
 def surfel_stream(prep: SurfelPrep, width: int, height: int, cfg: RasterConfig,

@@ -61,10 +61,28 @@ class RasterConfig(NamedTuple):
     # the backward scatter — can run at a smaller static size than the
     # pre-cull expansion buffer.
     stream_keys: int = 0
+    # backward-scatter compaction (Pallas training paths): before the
+    # per-key gradient scatter-add, gather only the chunk blocks that
+    # intersect some tile's ACTIVE range (keys before per-pixel
+    # termination; the backward kernels never write past it, so the rest
+    # of K_pad is exactly zero — measured ~57% coverage at bench scale).
+    # XLA scatter-add costs ~15 ns/row regardless of content, so the
+    # static compact capacity `bwd_block_frac * (K_pad/pallas_chunk)`
+    # cuts the scatter cost proportionally. 0 disables. Safe at any
+    # value: if the covered-block count exceeds the cap, a lax.cond
+    # falls back to the full scatter (slower, never wrong).
+    bwd_block_frac: float = 0.0
 
     @property
     def stream_cap(self) -> int:
         return self.stream_keys or self.max_keys
+
+    def bwd_blocks(self, n_blocks: int) -> int:
+        """Compact-scatter block capacity for a K_pad of n_blocks chunks
+        (0 = compaction disabled)."""
+        if not self.bwd_block_frac or self.bwd_block_frac >= 1.0:
+            return 0
+        return max(1, int(n_blocks * self.bwd_block_frac))
 
 
 class Preprocessed(NamedTuple):

@@ -67,6 +67,74 @@ def _f32(x):
     return x.astype(jnp.float32)
 
 
+def compact_block_scatter(grads_padded, g_drop, tile_start, tile_count,
+                          ncontrib_t, n_rows: int, cap_blocks: int):
+    """Per-key gradient reduction onto gaussians, visiting only the chunk
+    blocks that can be nonzero.
+
+    The backward kernels write gradient blocks on the global pallas_chunk
+    grid but only up to each tile's max n_contrib (post-termination keys
+    have zero gradient; `_hi` caps every write at
+    m = min(max ncontrib, count)), so blocks outside the union of active
+    ranges [start, start+m) are exactly zero — measured 57% of K_pad at
+    bench scale (250k gaussians, 1600x1066). XLA's scatter-add costs
+    ~15 ns/row regardless of row content, so gathering the covered blocks
+    into a static `cap_blocks`-sized compact array first cuts the scatter
+    cost proportionally (block-level gathers are cheap: the id table is
+    VMEM-sized and the gradient rows move at HBM bandwidth).
+
+    Unconditionally correct: when the covered-block count exceeds
+    cap_blocks, a lax.cond takes the full-scatter branch instead (the
+    exact computation this replaces) — an undersized cap costs speed,
+    never gradients.
+
+    Args: grads_padded [n_blocks, R, C] from the backward kernel (zero
+    outside written segments), g_drop [n_blocks*C] gaussian ids with
+    out-of-stream slots at the n_rows sentinel, tile_start/count [T],
+    ncontrib_t [T, 1, P] i32 forward residual. Returns d_table
+    [n_rows, R].
+    """
+    n_blocks, rows, chunk = grads_padded.shape
+    k_pad = n_blocks * chunk
+
+    def full(_):
+        updates = grads_padded.transpose(0, 2, 1).reshape(k_pad, rows)
+        return (jnp.zeros((n_rows, rows), jnp.float32)
+                .at[g_drop].add(updates, mode="drop"))
+
+    if not cap_blocks or cap_blocks >= n_blocks:
+        return full(None)
+
+    # covered-block bitmap: union of [start//C, (start+m-1)//C + 1) as an
+    # interval-difference cumsum (empty tiles routed to the drop slot)
+    m = jnp.minimum(jnp.max(ncontrib_t[:, 0, :], axis=1), tile_count)  # [T]
+    has = m > 0
+    ones = has.astype(jnp.int32)
+    lo_b = jnp.where(has, tile_start // chunk, n_blocks + 1)
+    hi_b = jnp.where(has, (tile_start + m - 1) // chunk + 1, n_blocks + 1)
+    diff = (jnp.zeros(n_blocks + 1, jnp.int32)
+            .at[lo_b].add(ones, mode="drop")
+            .at[hi_b].add(-ones, mode="drop"))
+    covered = jnp.cumsum(diff[:-1]) > 0                       # [n_blocks]
+    pos = jnp.cumsum(covered.astype(jnp.int32)) - 1           # compact slot
+    n_cov = pos[-1] + 1
+    blk = jnp.arange(n_blocks, dtype=jnp.int32)
+    src = (jnp.zeros(cap_blocks, jnp.int32)
+           .at[jnp.where(covered, pos, cap_blocks)]
+           .set(blk, mode="drop"))                            # [cap] source block
+
+    def compact(_):
+        grads_c = jnp.take(grads_padded, src, axis=0)         # [cap, R, C]
+        ids_c = jnp.take(g_drop.reshape(n_blocks, chunk), src, axis=0)
+        valid = jnp.arange(cap_blocks, dtype=jnp.int32) < n_cov
+        ids_c = jnp.where(valid[:, None], ids_c, n_rows)      # pad -> sentinel
+        updates = grads_c.transpose(0, 2, 1).reshape(cap_blocks * chunk, rows)
+        return (jnp.zeros((n_rows, rows), jnp.float32)
+                .at[ids_c.reshape(-1)].add(updates, mode="drop"))
+
+    return jax.lax.cond(n_cov <= cap_blocks, compact, full, None)
+
+
 @functools.lru_cache(maxsize=64)
 def _make_composite(width: int, height: int, cfg: RasterConfig, interpret: bool):
     tiles_x, tiles_y = grid_dims(width, height)
@@ -129,13 +197,11 @@ def _make_composite(width: int, height: int, cfg: RasterConfig, interpret: bool)
             width=width, height=height, cfg=cfg, k_pad=k_pad, interpret=interpret,
         )  # [K_pad/C, 16, C] blocks, zero outside written segments
 
-        # local per-block transpose (bandwidth) then one unsorted scatter-add
-        # onto gaussians; padding slots carry the n_rows sentinel -> dropped
-        updates = grads_padded.transpose(0, 2, 1).reshape(k_pad, 16)
-        d_table16 = (
-            jnp.zeros((n_rows, 16), jnp.float32)
-            .at[g_drop]
-            .add(updates, mode="drop")
+        # block-compacted unsorted scatter-add onto gaussians (full-scatter
+        # cond fallback inside); padding slots carry the n_rows sentinel
+        d_table16 = compact_block_scatter(
+            grads_padded, g_drop, tile_start, tile_count, ncontrib_t,
+            n_rows, cfg.bwd_blocks(k_pad // chunk),
         )
         d_table = d_table16[:, :DATA_ROWS]
 

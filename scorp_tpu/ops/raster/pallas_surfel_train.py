@@ -43,7 +43,7 @@ from .common import (
     gather_rows_u16_t,
     grid_dims,
 )
-from .pallas import _compact_routing, _f32, _i32
+from .pallas import _compact_routing, _f32, _i32, compact_block_scatter
 from .pallas_fwd import _scan_mm, _strict_lower_tri, tiles_cp_to_image
 from .pallas_bwd import _rev_cumsum_mxu, _suffix_tri
 from .pallas_surfel import SURFEL_ROWS
@@ -780,11 +780,11 @@ def _make_surfel_composite(width: int, height: int, cfg: RasterConfig,
             alpha_t, ncon_t, nmed_t, wm_t, wm2_t,
             width=width, height=height, cfg=cfg, k_pad=k_pad, interpret=interpret,
         )
-        updates = grads_padded.transpose(0, 2, 1).reshape(k_pad, SURFEL_ROWS)
-        d_table24 = (
-            jnp.zeros((n_rows, SURFEL_ROWS), jnp.float32)
-            .at[g_drop]
-            .add(updates, mode="drop")
+        # block-compacted unsorted scatter-add onto gaussians (full-scatter
+        # cond fallback inside; see pallas.compact_block_scatter)
+        d_table24 = compact_block_scatter(
+            grads_padded, g_drop, tile_start, tile_count, ncon_t,
+            n_rows, cfg.bwd_blocks(k_pad // chunk),
         )
         d_table = d_table24[:, :SURFEL_COLS]
 

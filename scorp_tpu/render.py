@@ -100,6 +100,7 @@ def tuned_raster_config(
     stream_keys: int | None = None,
     tile_list_len: int = 1024,
     chunk: int = 64,
+    bwd_block_frac: float = 0.66,
 ) -> RasterConfig:
     """The measured-fast v5e raster configuration for TRAINING loops.
 
@@ -111,6 +112,11 @@ def tuned_raster_config(
     size). Overflow of either capacity is reported via num_dropped_keys /
     num_dropped_tail; callers MUST handle it with regrow_config (the
     trainer apps and bench.py do).
+
+    bwd_block_frac=0.66 compacts the backward gradient scatter-add to the
+    chunk blocks that intersect a pre-termination range (measured ~57% of
+    K_pad at bench scale; overflow falls back to the full scatter inside a
+    lax.cond, so the fraction is a speed knob, never a correctness one).
     """
     if max_keys is None:
         max_keys = 1 << min(22, max(14, (capacity * avg_tiles_per_gaussian - 1).bit_length()))
@@ -119,6 +125,7 @@ def tuned_raster_config(
     return RasterConfig(
         max_keys=max_keys, tile_list_len=tile_list_len, chunk=chunk,
         pallas_chunk=128, stream_keys=stream_keys,
+        bwd_block_frac=bwd_block_frac,
     )
 
 

@@ -187,6 +187,81 @@ class TestSaturation:
             np.testing.assert_allclose(a, b, atol=2e-4, rtol=1e-3)
 
 
+class TestCompactBwdScatter:
+    """bwd_block_frac compacts the gradient scatter to covered chunk blocks;
+    gradients must match the uncompacted scatter, and an undersized cap must
+    take the cond fallback (full scatter) rather than dropping blocks."""
+
+    def _grads_3dgs(self, cfg):
+        xyz, scales, quats, opa, shs = make_scene(n=96, seed=5)
+        target = jnp.zeros((3, 48, 64))
+
+        def loss(xyz, scales, quats, opa, shs):
+            out = rasterize_pallas(
+                xyz, opa, CAM, BG, shs=shs, sh_degree=1,
+                scales=scales, quats=quats, cfg=cfg, interpret=True,
+            )
+            return (
+                ((out.color - target) ** 2).mean()
+                + 0.1 * (out.alpha ** 2).mean()
+                + 0.05 * (out.depth_accum ** 2).mean()
+            )
+
+        return jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+            xyz, scales, quats, opa, shs
+        )
+
+    def test_3dgs_compact_matches_full(self):
+        base = self._grads_3dgs(CFG)
+        # n_blocks = 16384/128 = 128; frac 0.66 -> cap 84 >> covered (~12
+        # tiles' worth), so the compact branch is the one exercised
+        compact = self._grads_3dgs(CFG._replace(bwd_block_frac=0.66))
+        # cap = max(1, int(128*0.008)) = 1 < covered -> cond fallback
+        fallback = self._grads_3dgs(CFG._replace(bwd_block_frac=0.008))
+        for got, ref in [(compact, base), (fallback, base)]:
+            for a, b in zip(got, ref):
+                scale = max(float(jnp.abs(b).max()), 1e-8)
+                np.testing.assert_allclose(a, b, atol=1e-6 * max(scale, 1.0))
+
+    def test_surfel_compact_matches_full(self):
+        from scorp_tpu.ops.raster.pallas_surfel_train import rasterize_surfel_pallas
+
+        rng = np.random.default_rng(13)
+        n = 60
+        xyz = jnp.asarray(rng.uniform(-0.9, 0.9, (n, 3)).astype(np.float32))
+        scales = jnp.asarray(
+            np.exp(rng.normal(np.log(0.25), 0.3, (n, 2))).astype(np.float32)
+        )
+        quats = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+        opa = jnp.asarray(rng.uniform(0.2, 0.9, n).astype(np.float32))
+        colors = jnp.asarray(rng.uniform(0, 1, (n, 3)).astype(np.float32))
+        bg = jnp.zeros(3)
+
+        def grads(cfg):
+            def loss(xyz, scales, quats, opa, colors):
+                out = rasterize_surfel_pallas(
+                    xyz, opa, CAM, bg, colors_precomp=colors,
+                    scales=scales, quats=quats, cfg=cfg, interpret=True,
+                )
+                return (
+                    (out.color ** 2).mean()
+                    + 0.1 * (out.depth_accum ** 2).mean()
+                    + 0.05 * (out.depth_median ** 2).mean()
+                    + 0.5 * out.distortion.mean()
+                )
+            return jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+                xyz, scales, quats, opa, colors
+            )
+
+        base = grads(CFG)
+        compact = grads(CFG._replace(bwd_block_frac=0.66))
+        fallback = grads(CFG._replace(bwd_block_frac=0.008))
+        for got in [compact, fallback]:
+            for a, b in zip(got, base):
+                scale = max(float(jnp.abs(b).max()), 1e-8)
+                np.testing.assert_allclose(a, b, atol=1e-6 * max(scale, 1.0))
+
+
 class TestPallasSurfelTrain:
     def _scene(self, n=70, seed=9):
         rng = np.random.default_rng(seed)

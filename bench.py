@@ -399,11 +399,15 @@ def main():
     # surfel (2DGS) path: no exact-cull drop (the quadratic tile test is
     # not conservative for the homography alpha), so the trim is only
     # capacity slack: measured 1.537M expanded keys on this scene
+    # bwd_block_frac 0.85: surfel termination is weaker than 3DGS (flat
+    # disks seen near edge-on blend thinner alphas), measured 78.7% covered
+    # blocks on this scene vs the 3DGS default's 57% (diag_ncontrib2d.py)
     cfg2d = tuned_raster_config(
         250_000,
         max_keys=(1 << 20) + (1 << 19) + (1 << 18),
         tile_list_len=4096, chunk=64,
         stream_keys=(1 << 20) + (1 << 19) + (1 << 17),
+        bwd_block_frac=0.85,
     )
     bench_render2d(*scene, cfg2d)
     bench_train2d_step(*scene, cfg2d)

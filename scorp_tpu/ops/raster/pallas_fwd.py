@@ -60,6 +60,16 @@ MXU_SCAN = True   # log-space transmittance via triangular MXU contraction
 MXU_POWER = False
 MXU_POWER_BF16 = True  # bf16x3 split form (False = HIGHEST; both lose)
 PREFETCH0 = True  # issue chunk-0 DMAs of all group tiles up front
+# software-pipelined chunk loop: the next chunk's alpha chain (VPU: dx/dy/
+# exp/masks) is computed between issuing the current chunk's scan
+# contractions (MXU) and consuming their result. MEASURED A LOSS on v5e at
+# 250k/1600x1066: render 37.6 -> 32.6 FPS, train 70.8 -> 74.6 ms (alpha
+# rides the loop carry: +[256,128] f32 carry traffic each body, 4th DMA
+# slot, and one wasted next-alpha chain per tile exit — cond-gating that
+# waste did NOT recover it, 32.2 FPS). Conclusion: the serial body already
+# overlaps MXU/VPU through the hardware queues; don't hand-pipeline this
+# loop again. Kept as an off-by-default experiment flag.
+PIPELINE = False
 
 
 def _masked_cumprod_lanes(x: jnp.ndarray, chunk: int) -> jnp.ndarray:
@@ -183,10 +193,16 @@ def _power_mm(basis: jnp.ndarray, coefs: jnp.ndarray) -> jnp.ndarray:
     return bmm(c1) + bmm(c2) + bmm(c3)
 
 
-def _scan_mm(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
-    """Triangular scan contraction x @ tri with the configured strategy."""
+def _scan_mm_parts(x: jnp.ndarray, tri: jnp.ndarray) -> tuple:
+    """Triangular scan contraction x @ tri, returned as UNSUMMED parts.
+
+    The caller sums them (s1 + s2 or s1 + 0.0): keeping the combining add
+    out of this helper lets a pipelined kernel place independent VPU work
+    between the matmul issues and the first use of their results, so the
+    MXU passes overlap it instead of serializing.
+    """
     if not SCAN_BF16X2:
-        return _mm(x, tri, ((1,), (0,)), SCAN_PREC)
+        return _mm(x, tri, ((1,), (0,)), SCAN_PREC), None
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     tri_b = tri.astype(jnp.bfloat16)
@@ -203,7 +219,147 @@ def _scan_mm(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
             precision=jax.lax.Precision.DEFAULT,
         )
 
-    return bmm(hi) + bmm(lo)
+    return bmm(hi), bmm(lo)
+
+
+def _scan_mm(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
+    """Triangular scan contraction x @ tri with the configured strategy."""
+    s1, s2 = _scan_mm_parts(x, tri)
+    return s1 if s2 is None else s1 + s2
+
+
+def _fwd_tile_pipelined(
+    g, start, count, head, n_chunks, tx_px, ty_px,
+    chunk_vmem, _copy,
+    *, chunk, group, track_ncontrib, ltri, lane,
+):
+    """Software-pipelined per-tile chunk loop (see PIPELINE).
+
+    Iteration ci issues the scan contractions of chunk ci (MXU) and, while
+    they run, computes chunk ci+1's alpha chain (VPU: dx/dy/exp/masks) —
+    the alpha rides the loop carry. DMA uses 4 rotating slots with a
+    3-deep prefetch (chunk ci+1 must be RESIDENT during body ci, one
+    deeper than the serial path's 2). Guards: the ci+1 wait/start are
+    n_chunks-bounded exactly like the starts (semaphore discipline — see
+    CLAUDE.md kernel-fault warning); an out-of-range alpha read sees a
+    stale-but-stable slot and is masked to zero by the kpos range test,
+    NaN-safe because jnp.where selects before any NaN can propagate.
+    """
+    p = TILE * TILE
+    pix_row = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    pix_x = tx_px + (pix_row % TILE).astype(jnp.float32)
+    pix_y = ty_px + (pix_row // TILE).astype(jnp.float32)
+
+    def _alpha_of(slot, ci):
+        # rows 2-4 hold the conic CHOLESKY factor (common.conic_chol):
+        # power = -0.5 (u^2 + v^2) <= 0 by construction
+        cur = chunk_vmem.at[slot]
+        dx = cur[0:1, :] - pix_x
+        dy = cur[1:2, :] - pix_y
+        u = cur[2:3, :] * dx + cur[3:4, :] * dy
+        v = cur[4:5, :] * dy
+        power = -0.5 * (u * u + v * v)
+        alpha = jnp.minimum(ALPHA_MAX, cur[8:9, :] * jnp.exp(power))
+        kpos = ci * chunk + lane  # position relative to `base`
+        valid = (kpos >= head) & (kpos < head + count)
+        return jnp.where(valid & (alpha >= ALPHA_MIN), alpha, 0.0)
+
+    # 3-deep prologue: chunks 1 and 2 in flight (chunk 0's DMA was issued
+    # by the group prefetch), then wait chunk 0 and compute its alpha
+    @pl.when(n_chunks > 1)
+    def _():
+        _copy(start, jnp.int32(1), group).start()
+
+    @pl.when(n_chunks > 2)
+    def _():
+        _copy(start, jnp.int32(2), group + 1).start()
+
+    @pl.when(count > 0)
+    def _():
+        _copy(start, jnp.int32(0), g).wait()
+
+    alpha0 = _alpha_of(g, jnp.int32(0))
+
+    def body(carry):
+        ci, t_carry, stopped, acc_c, acc_d, n_con, alpha = carry
+        slot = jnp.where(ci == 0, g, group + (ci - 1) % 4)
+
+        # 1) issue this chunk's scan contractions (MXU); the combining add
+        # happens at step 3, after the independent VPU work
+        logx = jnp.log(1.0 - alpha)
+        s1, s2 = _scan_mm_parts(logx, ltri)
+
+        # 2) next chunk's alpha chain (VPU) while the MXU runs
+        next_slot = group + ci % 4
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            _copy(start, ci + 1, next_slot).wait()
+
+        @pl.when(ci + 3 < n_chunks)
+        def _():
+            _copy(start, ci + 3, group + (ci + 2) % 4).start()
+
+        # cond-gated: at the tile's last chunk (~every 2.2 bodies on real
+        # scenes) the next-alpha chain would be pure waste
+        alpha_next = jax.lax.cond(
+            ci + 1 < n_chunks,
+            lambda: _alpha_of(next_slot, ci + 1),
+            lambda: jnp.zeros((p, chunk), jnp.float32),
+        )
+
+        # 3) consume the scan: exclusive running (1-alpha) product in log
+        # space; then the CUDA termination rule (see the serial body)
+        cum_excl = jnp.exp(s1 if s2 is None else s1 + s2)
+        t_before = t_carry * cum_excl
+        t_after = t_before * (1.0 - alpha)
+        include = jnp.logical_and(stopped < 0.5, t_after >= T_EPS)
+        weight = jnp.where(include, alpha * t_before, 0.0)
+        if track_ncontrib:
+            kpos = ci * chunk + lane
+            contrib = jnp.logical_and(include, alpha > 0.0)
+            pos1 = (kpos - head) + 1
+            n_con = jnp.maximum(
+                n_con,
+                jnp.max(jnp.where(contrib, pos1, 0), axis=1, keepdims=True),
+            )
+        t_carry = jnp.min(
+            jnp.where(include, t_after, t_carry), axis=1, keepdims=True
+        )
+        stopped = jnp.maximum(
+            stopped,
+            (t_after[:, chunk - 1 : chunk] < T_EPS).astype(jnp.float32),
+        )
+
+        # 4) accumulation contractions issued last: their results are first
+        # needed an iteration later, so they overlap the next body's VPU work
+        cur = chunk_vmem.at[slot]
+        acc_c = acc_c + _mm(cur[5:8, :], weight, ((1,), (1,)))
+        acc_d = acc_d + _mm(cur[9:10, :], weight, ((1,), (1,)))
+        return ci + 1, t_carry, stopped, acc_c, acc_d, n_con, alpha_next
+
+    def cond(carry):
+        ci, _, stopped, _, _, _, _ = carry
+        return (ci < n_chunks) & (jnp.min(stopped) < 0.5)
+
+    t0 = jnp.ones((p, 1), jnp.float32)
+    stop0 = jnp.zeros((p, 1), jnp.float32)
+    acc_c0 = jnp.zeros((3, p), jnp.float32)
+    acc_d0 = jnp.zeros((1, p), jnp.float32)
+    n0 = jnp.zeros((p, 1), jnp.int32)
+    ci_final, t_final, _, acc_c, acc_d, n_inc, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t0, stop0, acc_c0, acc_d0, n0, alpha0)
+    )
+
+    # drain in-flight prefetches on early exit: body(ci) waits ci+1 and
+    # starts ci+3, so at exit chunks ci_final+1 and ci_final+2 can be in
+    # flight unwaited (both n_chunks-guarded at start)
+    for d in (1, 2):
+        @pl.when(ci_final + d < n_chunks)
+        def _(ci_final=ci_final, d=d):
+            _copy(start, ci_final + d, group + (ci_final + d - 1) % 4).wait()
+
+    return ci_final, t_final, acc_c, acc_d, n_inc
 
 
 def _fwd_kernel(
@@ -255,6 +411,8 @@ def _fwd_kernel(
             def _(start=start, g=g):
                 _copy(start, jnp.int32(0), g).start()
 
+    pipelined = PIPELINE and MXU_SCAN and not MXU_POWER
+
     for g in range(group):
         t = pid * group + g
         start = tile_start_ref[t]
@@ -268,6 +426,23 @@ def _fwd_kernel(
             @pl.when(count > 0)
             def _(start=start, g=g):
                 _copy(start, jnp.int32(0), g).start()
+
+        if pipelined:
+            ci_final, t_final, acc_c, acc_d, n_inc = _fwd_tile_pipelined(
+                g, start, count, head, n_chunks, tx_px, ty_px,
+                chunk_vmem, _copy,
+                chunk=chunk, group=group, track_ncontrib=track_ncontrib,
+                ltri=ltri, lane=lane,
+            )
+            t_row = t_final.reshape(1, p)
+            bg = bg_ref
+            out_color_ref[g, 0, :] = acc_c[0, :] + t_row[0, :] * bg[0]
+            out_color_ref[g, 1, :] = acc_c[1, :] + t_row[0, :] * bg[1]
+            out_color_ref[g, 2, :] = acc_c[2, :] + t_row[0, :] * bg[2]
+            out_depth_ref[g, 0, :] = acc_d[0, :]
+            out_alpha_ref[g, 0, :] = 1.0 - t_row[0, :]
+            out_ncontrib_ref[g, 0, :] = n_inc.reshape(1, p)[0, :]
+            continue
 
         # 2-deep pipeline: chunk 1 goes in flight before the loop, and each
         # iteration prefetches ci+2, so a chunk's DMA has ~2 compute bodies
@@ -437,7 +612,8 @@ def _composite_kernel_call(
     tile_start_p = jnp.pad(tile_start, (0, pad))
     tile_count_p = jnp.pad(tile_count, (0, pad))
 
-    n_slots = group + 3
+    # 4 rotating slots for the pipelined loop's 3-deep prefetch, 3 otherwise
+    n_slots = group + (4 if PIPELINE and MXU_SCAN and not MXU_POWER else 3)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_groups,),

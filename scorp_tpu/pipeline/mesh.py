@@ -215,6 +215,72 @@ def surface_nets(tsdf: np.ndarray, weight: np.ndarray, origin, voxel_size,
     return vertices, faces, vert_colors
 
 
+def post_process_mesh(vertices: np.ndarray, faces: np.ndarray,
+                      colors: np.ndarray | None = None,
+                      cluster_to_keep: int = 1000):
+    """Filter out floaters / disconnected parts, keeping the largest
+    connected triangle clusters (reference `post_process_mesh`,
+    /root/reference/gs2dgs/utils/mesh_utils.py:22-42): cluster triangles
+    connected via shared edges, keep clusters with at least
+    max(size of the `cluster_to_keep`-th largest cluster, 50) triangles,
+    then drop degenerate triangles and unreferenced vertices.
+
+    Operates on the own-format (vertices, faces, colors) numpy mesh and
+    returns the filtered triple.
+    """
+    vertices = np.asarray(vertices)
+    faces = np.asarray(faces)
+    n_raw = len(vertices)
+    if len(faces) == 0:
+        return vertices[:0], faces, (None if colors is None else
+                                     np.asarray(colors)[:0])
+
+    # --- connected triangle clusters (edge adjacency, union-find) ---
+    e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], 0)
+    e = np.sort(e, axis=1)
+    tri = np.tile(np.arange(len(faces)), 3)
+    order = np.lexsort((e[:, 1], e[:, 0]))
+    e, tri = e[order], tri[order]
+    shared = (e[1:] == e[:-1]).all(axis=1)  # consecutive rows = same edge
+
+    parent = np.arange(len(faces))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]  # path halving
+            i = parent[i]
+        return i
+
+    for k in np.nonzero(shared)[0]:
+        a, b = find(tri[k]), find(tri[k + 1])
+        if a != b:
+            parent[b] = a
+
+    root = np.fromiter((find(i) for i in range(len(faces))), np.int64,
+                       len(faces))
+    _, labels, counts = np.unique(root, return_inverse=True, return_counts=True)
+
+    # threshold: size of the cluster_to_keep-th largest cluster, floored at 50
+    kth = np.sort(counts)[-min(int(cluster_to_keep), len(counts))]
+    thresh = max(int(kth), 50)
+    faces = faces[counts[labels] >= thresh]
+
+    # remove degenerate triangles (repeated vertex indices)
+    nondegen = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+                & (faces[:, 0] != faces[:, 2]))
+    faces = faces[nondegen]
+
+    # remove unreferenced vertices
+    used = np.unique(faces)
+    remap = np.full(n_raw, -1, np.int64)
+    remap[used] = np.arange(len(used))
+    faces = remap[faces]
+    vertices = vertices[used]
+    if colors is not None:
+        colors = np.asarray(colors)[used]
+    return vertices, faces, colors
+
+
 def save_mesh_ply(path: str, vertices: np.ndarray, faces: np.ndarray,
                   colors: np.ndarray | None = None):
     """Binary-LE PLY with vertex + face elements."""

@@ -122,6 +122,58 @@ class TestMesh:
         v, f, _ = marching_cubes(sph, w2, np.full(3, -1.6), 3.2 / n)
         assert len(f) > 0 and (v[:, 0] > -1.6 + 4 * 3.2 / n).all()
 
+    def test_post_process_mesh_removes_floaters(self):
+        """Reference post_process_mesh (gs2dgs/utils/mesh_utils.py:22-42):
+        small disconnected triangle clusters (< the 50-triangle floor) are
+        removed, unreferenced vertices dropped, faces remapped."""
+        from scorp_tpu.pipeline.mesh import post_process_mesh
+
+        # main component: a (G+1)x(G+1) grid sheet -> 2*G*G triangles
+        G = 8
+        xs, ys = np.meshgrid(np.arange(G + 1), np.arange(G + 1), indexing="ij")
+        grid_verts = np.stack([xs, ys, np.zeros_like(xs)], -1).reshape(-1, 3)
+
+        def vid(i, j):
+            return i * (G + 1) + j
+
+        main_faces = []
+        for i in range(G):
+            for j in range(G):
+                main_faces.append([vid(i, j), vid(i + 1, j), vid(i, j + 1)])
+                main_faces.append([vid(i + 1, j), vid(i + 1, j + 1), vid(i, j + 1)])
+        main_faces = np.asarray(main_faces)
+        assert len(main_faces) == 2 * G * G  # 128 >= 50-triangle floor
+
+        # floaters: 3 disconnected tetrahedra (4 triangles each, far away)
+        verts = [grid_verts.astype(float)]
+        faces = [main_faces]
+        base = len(grid_verts)
+        for k in range(3):
+            off = np.array([100.0 + 10 * k, 0, 0])
+            tet = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]]) + off
+            verts.append(tet)
+            faces.append(base + np.array([[0, 1, 2], [0, 1, 3], [0, 2, 3],
+                                          [1, 2, 3]]))
+            base += 4
+        # plus one degenerate triangle inside the main sheet
+        faces.append(np.array([[vid(0, 0), vid(0, 0), vid(0, 1)]]))
+        verts = np.concatenate(verts)
+        faces = np.concatenate(faces)
+        colors = np.linspace(0, 1, len(verts))[:, None].repeat(3, 1)
+
+        pv, pf, pc = post_process_mesh(verts, faces, colors, cluster_to_keep=1000)
+        assert len(pf) == len(main_faces)           # floaters + degenerate gone
+        assert len(pv) == len(grid_verts)           # tet vertices unreferenced
+        assert pf.min() >= 0 and pf.max() < len(pv)  # faces remapped in range
+        # surviving geometry is exactly the sheet (z == 0, x within grid)
+        assert np.abs(pv[:, 2]).max() == 0.0 and pv[:, 0].max() <= G
+        # colors follow the kept vertices
+        np.testing.assert_allclose(pc, colors[: len(grid_verts)])
+
+        # keeping only the largest cluster is the explicit-knob path
+        pv1, pf1, _ = post_process_mesh(verts, faces, colors, cluster_to_keep=1)
+        assert len(pf1) == len(main_faces)
+
     def test_mesh_ply_roundtrip(self, tmp_path):
         from scorp_tpu.pipeline.mesh import save_mesh_ply
 

@@ -40,9 +40,29 @@ def _load(path: str, size=None) -> tuple[np.ndarray, np.ndarray | None]:
 
 
 class LPIPSBackend:
-    def __init__(self):
+    """Calibrated LPIPS when weights are reachable, proxy otherwise.
+
+    Resolution order: (1) a weight file (--lpips_weights flag, else
+    $SCORP_LPIPS_WEIGHTS / ~/.cache/scorp_tpu/lpips_vgg.npz) driving the
+    in-repo JAX LPIPS-VGG (`ops.perceptual.lpips`); (2) the `lpips` torch
+    package if installed with its weights; (3) the bundled `lpips_proxy`
+    (reported under that name — never conflated with real LPIPS)."""
+
+    def __init__(self, weights_path: str | None = None):
         self._fn = None
         self.name = None
+        from ..ops import perceptual
+
+        path = weights_path or perceptual.default_lpips_weights_path()
+        if path:
+            weights = perceptual.load_lpips_weights(path)  # raises on bad file
+
+            def run(a, b):
+                return float(perceptual.lpips(a, b, weights))
+
+            self._fn = run
+            self.name = "lpips"
+            return
         try:
             import lpips  # type: ignore
             import torch
@@ -58,10 +78,8 @@ class LPIPSBackend:
             self._fn = run
             self.name = "lpips"
         except Exception:
-            from ..ops.perceptual import lpips_proxy
-
             def run(a, b):
-                return float(lpips_proxy(jnp.asarray(a), jnp.asarray(b)))
+                return float(perceptual.lpips_proxy(jnp.asarray(a), jnp.asarray(b)))
 
             self._fn = run
             self.name = "lpips_proxy"
@@ -76,13 +94,14 @@ class LPIPSBackend:
         return self._fn(a.astype(np.float32), b.astype(np.float32))
 
 
-def evaluate_dirs(pred_dir: str, gt_dir: str, use_alpha: bool = False) -> dict:
+def evaluate_dirs(pred_dir: str, gt_dir: str, use_alpha: bool = False,
+                  lpips_weights: str | None = None) -> dict:
     names = sorted(
         n for n in os.listdir(pred_dir) if n.lower().endswith((".png", ".jpg", ".jpeg"))
     )
     if not names:
         raise FileNotFoundError(f"no images in {pred_dir}")
-    lp = LPIPSBackend()
+    lp = LPIPSBackend(lpips_weights)
     psnrs, ssims, lpipss = [], [], []
     for name in names:
         gt_path = os.path.join(gt_dir, name)
@@ -122,8 +141,13 @@ def main(argv=None):
     parser.add_argument("--gt", type=str, required=True)
     parser.add_argument("--use_alpha", action="store_true",
                         help="mask both images by the prediction's alpha")
+    parser.add_argument("--lpips_weights", type=str, default=None,
+                        help="LPIPS-VGG weight file (.npz or torch state_dict); "
+                             "default $SCORP_LPIPS_WEIGHTS or "
+                             "~/.cache/scorp_tpu/lpips_vgg.npz")
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
-    print(json.dumps(evaluate_dirs(args.pred, args.gt, args.use_alpha)))
+    print(json.dumps(evaluate_dirs(args.pred, args.gt, args.use_alpha,
+                                   lpips_weights=args.lpips_weights)))
 
 
 if __name__ == "__main__":

@@ -395,6 +395,112 @@ class TestPerceptualProxy:
         # determinism across calls (fixed seeded filters)
         assert d_big == float(lpips_proxy(img, jnp.clip(big, 0, 1)))
 
+    def _random_lpips_weights(self, seed=7, scale=0.2):
+        """Fixture LPIPS-VGG weights: true architecture shapes, random values
+        (no pretrained weights ship in this container)."""
+        from scorp_tpu.ops.perceptual import _LPIPS_TAP_CHANNELS, _VGG_CHANNELS
+
+        rng = np.random.default_rng(seed)
+        w = {}
+        for i, (cout, cin) in enumerate(_VGG_CHANNELS):
+            w[f"conv{i}_w"] = (rng.normal(0, scale / np.sqrt(cin * 9),
+                                          (cout, cin, 3, 3))).astype(np.float32)
+            w[f"conv{i}_b"] = rng.uniform(0, 0.1, cout).astype(np.float32)
+        for j, c in enumerate(_LPIPS_TAP_CHANNELS):
+            w[f"lin{j}"] = rng.uniform(0, 1, c).astype(np.float32)
+        return w
+
+    def _torch_lpips_reference(self, w, a, b):
+        """Independent torch implementation of the LPIPS-VGG graph (the
+        `lpips` package's computation: ScalingLayer, VGG-16 config-D taps at
+        relu{1_2,2_2,3_3,4_3,5_3}, unit normalization, linear heads)."""
+        import torch
+        import torch.nn.functional as F
+        from scorp_tpu.ops.perceptual import (_LPIPS_SCALE, _LPIPS_SHIFT,
+                                              _VGG_POOL_BEFORE, _VGG_TAPS)
+
+        def feats(img):
+            x = torch.from_numpy(img[None] * 2 - 1)
+            x = (x - torch.from_numpy(_LPIPS_SHIFT)[None, :, None, None]) / \
+                torch.from_numpy(_LPIPS_SCALE)[None, :, None, None]
+            taps = []
+            for i in range(13):
+                if i in _VGG_POOL_BEFORE:
+                    x = F.max_pool2d(x, 2)
+                x = F.relu(F.conv2d(x, torch.from_numpy(w[f"conv{i}_w"]),
+                                    torch.from_numpy(w[f"conv{i}_b"]),
+                                    padding=1))
+                if i in _VGG_TAPS:
+                    taps.append(x)
+            return taps
+
+        total = 0.0
+        with torch.no_grad():
+            for j, (fx, fy) in enumerate(zip(feats(a), feats(b))):
+                nx = fx / (fx.square().sum(1, keepdim=True) + 1e-10).sqrt()
+                ny = fy / (fy.square().sum(1, keepdim=True) + 1e-10).sqrt()
+                lin = torch.from_numpy(w[f"lin{j}"])[None, :, None, None]
+                total += float((lin * (nx - ny) ** 2).sum(1).mean())
+        return total
+
+    def test_lpips_vgg_matches_torch_reference(self):
+        """JAX LPIPS == an independent torch implementation of the same graph
+        on fixture weights (weights themselves are environment-blocked)."""
+        from scorp_tpu.ops.perceptual import lpips
+
+        w = self._random_lpips_weights()
+        rng = np.random.default_rng(3)
+        a = rng.uniform(0, 1, (3, 48, 64)).astype(np.float32)
+        b = np.clip(a + 0.1 * rng.normal(size=a.shape), 0, 1).astype(np.float32)
+        ours = float(lpips(a, b, w))
+        ref = self._torch_lpips_reference(w, a, b)
+        assert abs(ours - ref) < 1e-4 * max(1.0, abs(ref))
+        assert float(lpips(a, a, w)) < 1e-6
+
+    def test_lpips_weight_loading_paths(self, tmp_path):
+        """npz round-trip + torch state_dict (torchvision features.* naming
+        merged with lpips lin heads) both load; metrics harness reports
+        `lpips` (not `lpips_proxy`) when a weight file is supplied."""
+        import torch
+        from PIL import Image as PILImage
+        from scorp_tpu.apps.metrics import evaluate_dirs
+        from scorp_tpu.ops.perceptual import (_TORCHVISION_CONV_IDX, lpips,
+                                              load_lpips_weights)
+
+        w = self._random_lpips_weights()
+        npz_path = str(tmp_path / "lpips_vgg.npz")
+        np.savez(npz_path, **w)
+        w_npz = load_lpips_weights(npz_path)
+
+        state = {}
+        for i, tv in enumerate(_TORCHVISION_CONV_IDX):
+            state[f"features.{tv}.weight"] = torch.from_numpy(w[f"conv{i}_w"])
+            state[f"features.{tv}.bias"] = torch.from_numpy(w[f"conv{i}_b"])
+        for j in range(5):
+            state[f"lin{j}.model.1.weight"] = torch.from_numpy(
+                w[f"lin{j}"].reshape(1, -1, 1, 1))
+        pt_path = str(tmp_path / "lpips_vgg.pth")
+        torch.save(state, pt_path)
+        w_pt = load_lpips_weights(pt_path)
+
+        rng = np.random.default_rng(5)
+        a = rng.uniform(0, 1, (3, 32, 32)).astype(np.float32)
+        b = np.clip(a + 0.2 * rng.normal(size=a.shape), 0, 1).astype(np.float32)
+        v_npz = float(lpips(a, b, w_npz))
+        v_pt = float(lpips(a, b, w_pt))
+        assert abs(v_npz - v_pt) < 1e-6 and v_npz > 0
+
+        for d in ("pred", "gt"):
+            (tmp_path / d).mkdir()
+        img = rng.integers(0, 255, (24, 32, 3), np.uint8)
+        PILImage.fromarray(img).save(tmp_path / "gt" / "im0.png")
+        noisy = np.clip(img + rng.integers(-30, 30, img.shape), 0, 255)
+        PILImage.fromarray(noisy.astype(np.uint8)).save(tmp_path / "pred" / "im0.png")
+        res = evaluate_dirs(str(tmp_path / "pred"), str(tmp_path / "gt"),
+                            lpips_weights=npz_path)
+        assert res["lpips_backend"] == "lpips"
+        assert res["lpips"] is not None and res["lpips"] > 0
+
     def test_metrics_harness_uses_proxy(self, tmp_path):
         from PIL import Image as PILImage
         from scorp_tpu.apps.metrics import evaluate_dirs

@@ -106,8 +106,10 @@ class TileBins(NamedTuple):
 class StreamBins(NamedTuple):
     """Depth-ordered per-tile key stream for the Pallas compositor.
 
-    `data` rows: 0-1 xy, 2-4 conic (A,B,C), 5-7 color, 8 opacity, 9 depth,
-    10-15 zero padding (sublane tiling wants a multiple of 8 rows; Mosaic
+    `data` rows: 0-1 xy, 2-4 conic (A,B,C), 5-7 color, 8 depth, 9 opacity,
+    10-15 zero padding (depth sits NEXT TO color so the compositors
+    accumulate color+depth with ONE [4,C] contraction; sublane tiling
+    wants a multiple of 8 rows; Mosaic
     VMEM tiling also rules out a row-major [K, 16] layout — 16-lane minor
     slices can't be tiled — and the narrow 10-column gather table is what
     keeps the per-key gather on the VMEM fast path).
@@ -804,14 +806,15 @@ def bin_stream(
     # expansion's single N-row gather. Rows 2-4 carry the conic CHOLESKY
     # factor (conic_chol), not the conic. No id column: i32 bit patterns
     # bitcast into f32 do NOT survive TPU XLA (denormal flushing in copy
-    # fusions zeroes them, fusion/scale-dependently).
+    # fusions zeroes them, fusion/scale-dependently). Row order matches
+    # StreamBins (depth at 8, opacity at 9).
     extra = jnp.concatenate(
         [
             prep.xy,
             conic_chol(prep.conic),
             prep.color,
-            prep.opacity[:, None],
             prep.depth[:, None],
+            prep.opacity[:, None],
         ],
         axis=1,
     )

@@ -300,7 +300,7 @@ def rasterize_pallas(
     extra = jnp.concatenate(
         [
             prep.xy, conic_chol(prep.conic), prep.color,
-            prep.opacity[:, None], prep.depth[:, None],
+            prep.depth[:, None], prep.opacity[:, None],
         ],
         axis=1,
     )

@@ -58,6 +58,7 @@ from .pallas_fwd import (
     GROUP,
     MXU_POWER,
     SCAN_PREC,
+    _acc_mm,
     _mm,
     _pixel_basis,
     _power_coefs,
@@ -198,12 +199,12 @@ def _bwd_kernel(
         # dL/dT_final = bg . g_color - g_alpha, folded with T_final once
         g_t = bg[0] * g_c[0:1, :] + bg[1] * g_c[1:2, :] + bg[2] * g_c[2:3, :] - g_a
         gt_term = (t_final_row * g_t).reshape(p, 1)   # [p,1]
-        g_d_col = g_d.reshape(p, 1)
+        g_cd = jnp.concatenate([g_c, g_d], axis=0)    # [4, P] color+depth
         n_con_col = n_con.reshape(p, 1)
 
         def body(carry, g=g, start=start, head=head, count=count, hi=hi,
-                 cbase=cbase, tx_px=tx_px, ty_px=ty_px, g_c=g_c,
-                 gt_term=gt_term, g_d_col=g_d_col, n_con_col=n_con_col):
+                 cbase=cbase, tx_px=tx_px, ty_px=ty_px, g_cd=g_cd,
+                 gt_term=gt_term, n_con_col=n_con_col):
             ci, t_run, s_run, cblk, cslot, w0, w1 = carry
             in_slot = jnp.where(ci == hi - 1, g, group + ci % 2)
 
@@ -220,9 +221,7 @@ def _bwd_kernel(
             l11 = cur[2:3, :]
             l21 = cur[3:4, :]
             l22 = cur[4:5, :]
-            colors = cur[5:8, :]
-            opa = cur[8:9, :]
-            depth = cur[9:10, :]
+            opa = cur[9:10, :]
 
             dx = gx - (tx_px + px_loc)               # [p, C]
             dy = gy - (ty_px + py_loc)
@@ -253,9 +252,9 @@ def _bwd_kernel(
             t_before = t_run * jnp.exp(-revlog)
             w = jnp.where(include, alpha_eff * t_before, 0.0)
 
-            # u_i(p) = c_i . g_C(p) + d_i g_D(p)
-            u = _mm(g_c, colors, ((0,), (0,)))                         # [p, C]
-            u = u + g_d_col * depth
+            # u_i(p) = c_i . g_C(p) + d_i g_D(p): one [4]-contraction over
+            # the adjacent color+depth rows
+            u = _acc_mm(g_cd, cur[5:9, :], ((0,), (0,)))               # [p, C]
 
             wu = w * u
             revsum_incl = _scan_mm(wu, tri)
@@ -267,8 +266,7 @@ def _bwd_kernel(
             dalpha = jnp.where(emit, dalpha, 0.0)
 
             dpow = alpha_u * dalpha                                    # [p, C]
-            d_color = _mm(g_c, w, ((1,), (0,)))                        # [3, C]
-            d_depth = _mm(g_d, w, ((1,), (0,)))                        # [1, C]
+            d_cd = _acc_mm(g_cd, w, ((1,), (0,)))                      # [4, C]
             # L-form chain: dpower/dl11 = -su dx, /dl21 = -su dy,
             # /dl22 = -sv dy, /dx = -su l11, /dy = -(su l21 + sv l22); the
             # mean gradients need only the REDUCED Σ su·dpow and Σ sv·dpow,
@@ -291,8 +289,10 @@ def _bwd_kernel(
             # Out-of-segment lanes are exactly zero (every term above is
             # masked by in_seg), so accumulating the straddling tiles'
             # blocks is a plain add.
+            # rows 5-8 = d_color, d_depth; row 9 = d_opa (matches the
+            # stream/table layout so the scatter target columns line up)
             g16 = jnp.concatenate(
-                [d_gx, d_gy, d_l11, d_l21, d_l22, d_color, d_opa, d_depth,
+                [d_gx, d_gy, d_l11, d_l21, d_l22, d_cd, d_opa,
                  jnp.zeros((6, chunk), jnp.float32)],
                 axis=0,
             )                                                  # [16, C]

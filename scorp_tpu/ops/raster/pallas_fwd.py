@@ -155,6 +155,36 @@ def _mm(a, b, contract, precision=jax.lax.Precision.HIGHEST):
 # HIGH raises NotImplementedError at compile time (interpret mode hides it).
 SCAN_PREC = jax.lax.Precision.HIGHEST
 
+# Accumulation contractions (color+depth vs weight in forward, the
+# cotangent dots in backward) at bf16x3: both operands split into hi+lo
+# bf16 components and the lo*lo term (~2^-32 relative) dropped — THREE
+# single-pass MXU contractions instead of HIGHEST's six. Product error
+# ~2^-17 relative, far below the 5e-3 parity budget (colors/weights are
+# O(1), depth O(10)).
+ACC_BF16X3 = True
+
+
+def _acc_mm(a, b, contract):
+    """Accumulation matmul with the configured precision strategy."""
+    if not ACC_BF16X3:
+        return _mm(a, b, contract)
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(x, y):
+        # explicit DEFAULT precision: see _scan_mm_parts
+        return jax.lax.dot_general(
+            x, y,
+            dimension_numbers=(contract, ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    return d(ah, bh) + (d(ah, bl) + d(al, bh))
+
+
 # Manual bf16x2 split for the triangular scan contractions: the triangular
 # matrix is 0/1 (exact in bf16) and x splits into two bf16 components
 # covering 16 mantissa bits, so x@tri runs as TWO single-pass bf16 matmuls
@@ -259,7 +289,7 @@ def _fwd_tile_pipelined(
         u = cur[2:3, :] * dx + cur[3:4, :] * dy
         v = cur[4:5, :] * dy
         power = -0.5 * (u * u + v * v)
-        alpha = jnp.minimum(ALPHA_MAX, cur[8:9, :] * jnp.exp(power))
+        alpha = jnp.minimum(ALPHA_MAX, cur[9:10, :] * jnp.exp(power))
         kpos = ci * chunk + lane  # position relative to `base`
         valid = (kpos >= head) & (kpos < head + count)
         return jnp.where(valid & (alpha >= ALPHA_MIN), alpha, 0.0)
@@ -281,7 +311,7 @@ def _fwd_tile_pipelined(
     alpha0 = _alpha_of(g, jnp.int32(0))
 
     def body(carry):
-        ci, t_carry, stopped, acc_c, acc_d, n_con, alpha = carry
+        ci, t_carry, stopped, acc_cd, n_con, alpha = carry
         slot = jnp.where(ci == 0, g, group + (ci - 1) % 4)
 
         # 1) issue this chunk's scan contractions (MXU); the combining add
@@ -331,25 +361,24 @@ def _fwd_tile_pipelined(
             (t_after[:, chunk - 1 : chunk] < T_EPS).astype(jnp.float32),
         )
 
-        # 4) accumulation contractions issued last: their results are first
-        # needed an iteration later, so they overlap the next body's VPU work
+        # 4) accumulation contraction issued last: its result is first
+        # needed an iteration later, so it overlaps the next body's VPU work
         cur = chunk_vmem.at[slot]
-        acc_c = acc_c + _mm(cur[5:8, :], weight, ((1,), (1,)))
-        acc_d = acc_d + _mm(cur[9:10, :], weight, ((1,), (1,)))
-        return ci + 1, t_carry, stopped, acc_c, acc_d, n_con, alpha_next
+        acc_cd = acc_cd + _acc_mm(cur[5:9, :], weight, ((1,), (1,)))
+        return ci + 1, t_carry, stopped, acc_cd, n_con, alpha_next
 
     def cond(carry):
-        ci, _, stopped, _, _, _, _ = carry
+        ci, _, stopped, _, _, _ = carry
         return (ci < n_chunks) & (jnp.min(stopped) < 0.5)
 
     t0 = jnp.ones((p, 1), jnp.float32)
     stop0 = jnp.zeros((p, 1), jnp.float32)
-    acc_c0 = jnp.zeros((3, p), jnp.float32)
-    acc_d0 = jnp.zeros((1, p), jnp.float32)
+    acc_cd0 = jnp.zeros((4, p), jnp.float32)
     n0 = jnp.zeros((p, 1), jnp.int32)
-    ci_final, t_final, _, acc_c, acc_d, n_inc, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), t0, stop0, acc_c0, acc_d0, n0, alpha0)
+    ci_final, t_final, _, acc_cd, n_inc, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t0, stop0, acc_cd0, n0, alpha0)
     )
+    acc_c, acc_d = acc_cd[:3], acc_cd[3:4]
 
     # drain in-flight prefetches on early exit: body(ci) waits ci+1 and
     # starts ci+3, so at exit chunks ci_final+1 and ci_final+2 can be in
@@ -453,7 +482,7 @@ def _fwd_kernel(
 
         def body(carry, g=g, start=start, head=head, count=count,
                  n_chunks=n_chunks, tx_px=tx_px, ty_px=ty_px):
-            ci, t_carry, stopped, acc_c, acc_d, n_con = carry
+            ci, t_carry, stopped, acc_cd, n_con = carry
             slot = jnp.where(ci == 0, g, group + (ci - 1) % 3)
             _copy(start, ci, slot).wait()
 
@@ -479,7 +508,7 @@ def _fwd_kernel(
                 u = cur[2:3, :] * dx + cur[3:4, :] * dy
                 v = cur[4:5, :] * dy
                 power = -0.5 * (u * u + v * v)
-            opa = cur[8:9, :]
+            opa = cur[9:10, :]
             alpha = jnp.minimum(ALPHA_MAX, opa * jnp.exp(power))
             kpos = ci * chunk + lane  # position relative to `base`
             valid = (kpos >= head) & (kpos < head + count)
@@ -501,10 +530,9 @@ def _fwd_kernel(
             include = jnp.logical_and(stopped < 0.5, t_after >= T_EPS)
             weight = jnp.where(include, alpha * t_before, 0.0)
 
-            colors = cur[5:8, :]                               # [3, C]
-            acc_c = acc_c + _mm(colors, weight, ((1,), (1,)))  # [3, p]
-            depth = cur[9:10, :]
-            acc_d = acc_d + _mm(depth, weight, ((1,), (1,)))   # [1, p]
+            # color+depth accumulate in ONE [4, C] x [C, p] contraction
+            # (rows 5-8 are color, depth — adjacent by stream layout)
+            acc_cd = acc_cd + _acc_mm(cur[5:9, :], weight, ((1,), (1,)))
             if track_ncontrib:
                 # n_contrib = 1-based stream position (from the segment
                 # start) of the last included key with alpha > 0 — the
@@ -528,20 +556,20 @@ def _fwd_kernel(
                 stopped,
                 (t_after[:, chunk - 1 : chunk] < T_EPS).astype(jnp.float32),
             )
-            return ci + 1, t_carry, stopped, acc_c, acc_d, n_con
+            return ci + 1, t_carry, stopped, acc_cd, n_con
 
         def cond(carry, n_chunks=n_chunks):
-            ci, _, stopped, _, _, _ = carry
+            ci, _, stopped, _, _ = carry
             return (ci < n_chunks) & (jnp.min(stopped) < 0.5)
 
         t0 = jnp.ones((p, 1), jnp.float32)
         stop0 = jnp.zeros((p, 1), jnp.float32)
-        acc_c0 = jnp.zeros((3, p), jnp.float32)
-        acc_d0 = jnp.zeros((1, p), jnp.float32)
+        acc_cd0 = jnp.zeros((4, p), jnp.float32)
         n0 = jnp.zeros((p, 1), jnp.int32)
-        ci_final, t_final, _, acc_c, acc_d, n_inc = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), t0, stop0, acc_c0, acc_d0, n0)
+        ci_final, t_final, _, acc_cd, n_inc = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), t0, stop0, acc_cd0, n0)
         )
+        acc_c, acc_d = acc_cd[:3], acc_cd[3:4]
 
         # drain in-flight prefetches if the loop exited early (up to two:
         # ci_final and ci_final+1 — the 2-deep pipeline keeps both in flight)

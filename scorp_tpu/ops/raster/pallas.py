@@ -68,34 +68,45 @@ def _f32(x):
 
 
 def compact_block_scatter(grads_padded, g_drop, tile_start, tile_count,
-                          ncontrib_t, n_rows: int, cap_blocks: int):
-    """Per-key gradient reduction onto gaussians, visiting only the chunk
-    blocks that can be nonzero.
+                          ncontrib_t, n_rows: int, cap_blocks: int,
+                          useful_rows: int | None = None, sub: int = 1):
+    """Per-key gradient reduction onto gaussians, visiting only the stream
+    sub-blocks that can be nonzero.
 
     The backward kernels write gradient blocks on the global pallas_chunk
     grid but only up to each tile's max n_contrib (post-termination keys
     have zero gradient; `_hi` caps every write at
-    m = min(max ncontrib, count)), so blocks outside the union of active
-    ranges [start, start+m) are exactly zero — measured 57% of K_pad at
-    bench scale (250k gaussians, 1600x1066). XLA's scatter-add costs
-    ~15 ns/row regardless of row content, so gathering the covered blocks
-    into a static `cap_blocks`-sized compact array first cuts the scatter
-    cost proportionally (block-level gathers are cheap: the id table is
-    VMEM-sized and the gradient rows move at HBM bandwidth).
+    m = min(max ncontrib, count)), so rows outside the union of active
+    ranges [start, start+m) are exactly zero. XLA's scatter-add costs
+    ~13-15 ns/row regardless of row content, so gathering the covered
+    ranges into a static `cap`-sized compact array first cuts the scatter
+    cost proportionally (the moves run at HBM bandwidth; measured 57.3%
+    coverage of K_pad at bench scale). Rows past `useful_rows` (the
+    kernels' zero padding to the sublane multiple) are sliced off before
+    the relayout + scatter.
 
-    Unconditionally correct: when the covered-block count exceeds
-    cap_blocks, a lax.cond takes the full-scatter branch instead (the
-    exact computation this replaces) — an undersized cap costs speed,
-    never gradients.
+    Unconditionally correct: when the covered count exceeds the cap, a
+    lax.cond takes the full-scatter branch instead (the exact computation
+    this replaces) — an undersized cap costs speed, never gradients.
+
+    MEASURED DEAD END (round 4, don't retry): sub > 1 (finer 32/64-lane
+    granularity) loses 4-13 ms despite covering fewer rows — every
+    [*, *, g<128] intermediate tiles to 128 lanes, so the gather/relayout
+    moves 4-8x padding bytes. Keep sub=1 unless the layout problem is
+    solved in a kernel.
 
     Args: grads_padded [n_blocks, R, C] from the backward kernel (zero
     outside written segments), g_drop [n_blocks*C] gaussian ids with
     out-of-stream slots at the n_rows sentinel, tile_start/count [T],
-    ncontrib_t [T, 1, P] i32 forward residual. Returns d_table
-    [n_rows, R].
+    ncontrib_t [T, 1, P] i32 forward residual, cap_blocks in CHUNK units
+    (scaled to sub-blocks internally). Returns d_table
+    [n_rows, useful_rows or R].
     """
     n_blocks, rows, chunk = grads_padded.shape
     k_pad = n_blocks * chunk
+    if useful_rows is not None and useful_rows < rows:
+        grads_padded = grads_padded[:, :useful_rows, :]
+        rows = useful_rows
 
     def full(_):
         updates = grads_padded.transpose(0, 2, 1).reshape(k_pad, rows)
@@ -105,34 +116,44 @@ def compact_block_scatter(grads_padded, g_drop, tile_start, tile_count,
     if not cap_blocks or cap_blocks >= n_blocks:
         return full(None)
 
-    # covered-block bitmap: union of [start//C, (start+m-1)//C + 1) as an
-    # interval-difference cumsum (empty tiles routed to the drop slot)
+    assert chunk % sub == 0
+    g = chunk // sub
+    n_sub = n_blocks * sub
+    cap = cap_blocks * sub
+
+    # covered sub-block bitmap: union of [start//g, (start+m-1)//g + 1) as
+    # an interval-difference cumsum (empty tiles routed to the drop slot)
     m = jnp.minimum(jnp.max(ncontrib_t[:, 0, :], axis=1), tile_count)  # [T]
     has = m > 0
     ones = has.astype(jnp.int32)
-    lo_b = jnp.where(has, tile_start // chunk, n_blocks + 1)
-    hi_b = jnp.where(has, (tile_start + m - 1) // chunk + 1, n_blocks + 1)
-    diff = (jnp.zeros(n_blocks + 1, jnp.int32)
+    lo_b = jnp.where(has, tile_start // g, n_sub + 1)
+    hi_b = jnp.where(has, (tile_start + m - 1) // g + 1, n_sub + 1)
+    diff = (jnp.zeros(n_sub + 1, jnp.int32)
             .at[lo_b].add(ones, mode="drop")
             .at[hi_b].add(-ones, mode="drop"))
-    covered = jnp.cumsum(diff[:-1]) > 0                       # [n_blocks]
+    covered = jnp.cumsum(diff[:-1]) > 0                       # [n_sub]
     pos = jnp.cumsum(covered.astype(jnp.int32)) - 1           # compact slot
     n_cov = pos[-1] + 1
-    blk = jnp.arange(n_blocks, dtype=jnp.int32)
-    src = (jnp.zeros(cap_blocks, jnp.int32)
-           .at[jnp.where(covered, pos, cap_blocks)]
-           .set(blk, mode="drop"))                            # [cap] source block
+    blk = jnp.arange(n_sub, dtype=jnp.int32)
+    src = (jnp.zeros(cap, jnp.int32)
+           .at[jnp.where(covered, pos, cap)]
+           .set(blk, mode="drop"))                            # [cap] source sub-block
 
     def compact(_):
-        grads_c = jnp.take(grads_padded, src, axis=0)         # [cap, R, C]
-        ids_c = jnp.take(g_drop.reshape(n_blocks, chunk), src, axis=0)
-        valid = jnp.arange(cap_blocks, dtype=jnp.int32) < n_cov
+        # [B, R, C] -> [B*sub, R, g] sub-block axis up front (identity at
+        # sub=1), then contiguous-row gathers of the covered sub-blocks
+        xs = (grads_padded if sub == 1 else
+              grads_padded.reshape(n_blocks, rows, sub, g)
+              .transpose(0, 2, 1, 3).reshape(n_sub, rows, g))
+        grads_c = jnp.take(xs, src, axis=0)                   # [cap, R, g]
+        ids_c = jnp.take(g_drop.reshape(n_sub, g), src, axis=0)
+        valid = jnp.arange(cap, dtype=jnp.int32) < n_cov
         ids_c = jnp.where(valid[:, None], ids_c, n_rows)      # pad -> sentinel
-        updates = grads_c.transpose(0, 2, 1).reshape(cap_blocks * chunk, rows)
+        updates = grads_c.transpose(0, 2, 1).reshape(cap * g, rows)
         return (jnp.zeros((n_rows, rows), jnp.float32)
                 .at[ids_c.reshape(-1)].add(updates, mode="drop"))
 
-    return jax.lax.cond(n_cov <= cap_blocks, compact, full, None)
+    return jax.lax.cond(n_cov <= cap, compact, full, None)
 
 
 @functools.lru_cache(maxsize=64)
@@ -199,11 +220,10 @@ def _make_composite(width: int, height: int, cfg: RasterConfig, interpret: bool)
 
         # block-compacted unsorted scatter-add onto gaussians (full-scatter
         # cond fallback inside); padding slots carry the n_rows sentinel
-        d_table16 = compact_block_scatter(
+        d_table = compact_block_scatter(
             grads_padded, g_drop, tile_start, tile_count, ncontrib_t,
-            n_rows, cfg.bwd_blocks(k_pad // chunk),
+            n_rows, cfg.bwd_blocks(k_pad // chunk), useful_rows=DATA_ROWS,
         )
-        d_table = d_table16[:, :DATA_ROWS]
 
         # d_bg[c] = sum over pixels of T_final * g_color[c]
         t_final = 1.0 - alpha_t  # [T,1,P]

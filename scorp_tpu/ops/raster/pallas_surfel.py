@@ -16,8 +16,10 @@ blocks, transmittance via the log-space triangular MXU contraction
 Training keeps the autodiff XLA path (surfel.py); this kernel serves
 render_2dgs-style evaluation. Stream rows (24, sublane-aligned):
 0-8 adj(M) row-major (a1, a2, a3: s = adj @ (px, py, 1), see
-surfel.surfel_adj), 9-11 zrow, 12-13 center xy, 14-16 color, 17 opacity,
-18-20 view normal, 21-23 pad.
+surfel.surfel_adj), 9-11 zrow, 12-13 center xy, 14-16 color, 17-19 view
+normal, 20 opacity, 21-23 pad. Color and normal sit ADJACENT so the
+compositors accumulate both with ONE [6,C] bf16x3 MXU contraction
+(pallas_fwd._acc_mm) instead of two 6-pass HIGHEST dots.
 """
 
 from __future__ import annotations
@@ -37,7 +39,7 @@ from .common import (
     grid_dims,
     sorted_expansion,
 )
-from .pallas_fwd import _scan_mm, _strict_lower_tri, tiles_cp_to_image
+from .pallas_fwd import _acc_mm, _scan_mm, _strict_lower_tri, tiles_cp_to_image
 from .surfel import (
     ALPHA_MAX,
     ALPHA_MIN,
@@ -80,8 +82,8 @@ def surfel_stream(prep: SurfelPrep, width: int, height: int, cfg: RasterConfig,
     # payload table [N, 21], permuted inside the expansion's single N-row
     # u16 gather (~3x the 32-bit row-gather throughput)
     extra = jnp.concatenate(
-        [adj, prep.zrow, prep.xy, prep.color, prep.opacity[:, None],
-         prep.normal],
+        [adj, prep.zrow, prep.xy, prep.color, prep.normal,
+         prep.opacity[:, None]],
         axis=1,
     )
     sorted_tile, g_sorted, order, total, kept, table = sorted_expansion(
@@ -166,7 +168,7 @@ def _surfel_fwd_kernel(
 
         def body(carry, g=g, start=start, head=head, count=count,
                  n_chunks=n_chunks, pix_x=pix_x, pix_y=pix_y):
-            (ci, t_carry, stopped, acc_c, acc_d, acc_n, med, acc_dist,
+            (ci, t_carry, stopped, acc_cn, acc_d, med, acc_dist,
              a_run, d_run, d2_run) = carry
             slot = jnp.where(ci == 0, g, group + (ci - 1) % 3)
             _copy(start, ci, slot).wait()
@@ -183,7 +185,7 @@ def _surfel_fwd_kernel(
             a3x, a3y, a3z = cur[6:7, :], cur[7:8, :], cur[8:9, :]
             zu, zv, zc = cur[9:10, :], cur[10:11, :], cur[11:12, :]
             cx, cy = cur[12:13, :], cur[13:14, :]
-            opa = cur[17:18, :]
+            opa = cur[20:21, :]
 
             sx = a1x * pix_x + a1y * pix_y + a1z       # [p, C]
             sy = a2x * pix_x + a2y * pix_y + a2z
@@ -215,16 +217,9 @@ def _surfel_fwd_kernel(
             include = jnp.logical_and(stopped < 0.5, t_after >= T_EPS)
             w = jnp.where(include, alpha * t_before, 0.0)
 
-            colors = cur[14:17, :]
-            acc_c = acc_c + jax.lax.dot_general(
-                colors, w, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-            )
-            normals = cur[18:21, :]
-            acc_n = acc_n + jax.lax.dot_general(
-                normals, w, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-            )
+            # color+normal accumulate in ONE [6, C] x [C, p] bf16x3
+            # contraction (rows 14-19 adjacent by stream layout)
+            acc_cn = acc_cn + _acc_mm(cur[14:20, :], w, ((1,), (1,)))
             acc_d = acc_d + jnp.sum(w * z, axis=1, keepdims=True)
 
             # median: z of the last included key with entry transmittance > 0.5
@@ -261,7 +256,7 @@ def _surfel_fwd_kernel(
             stopped = jnp.maximum(
                 stopped, (t_after[:, chunk - 1 : chunk] < T_EPS).astype(jnp.float32)
             )
-            return (ci + 1, t_carry, stopped, acc_c, acc_d, acc_n, med, acc_dist,
+            return (ci + 1, t_carry, stopped, acc_cn, acc_d, med, acc_dist,
                     a_run, d_run, d2_run)
 
         def cond_fn(carry, n_chunks=n_chunks):
@@ -272,12 +267,13 @@ def _surfel_fwd_kernel(
         init = (
             jnp.int32(0), jnp.ones((p, 1), jnp.float32),
             jnp.zeros((p, 1), jnp.float32),
-            jnp.zeros((3, p), jnp.float32), zeros1,
-            jnp.zeros((3, p), jnp.float32), zeros1, zeros1, zeros1, zeros1, zeros1,
+            jnp.zeros((6, p), jnp.float32), zeros1,
+            zeros1, zeros1, zeros1, zeros1, zeros1,
         )
-        (ci_final, t_final, _, acc_c, acc_d, acc_n, med, acc_dist, *_) = (
+        (ci_final, t_final, _, acc_cn, acc_d, med, acc_dist, *_) = (
             jax.lax.while_loop(cond_fn, body, init)
         )
+        acc_c, acc_n = acc_cn[:3], acc_cn[3:]
 
         # drain in-flight prefetches on early exit (2-deep pipeline)
         for d in (0, 1):

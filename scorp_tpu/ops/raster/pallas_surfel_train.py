@@ -20,7 +20,7 @@ gs2dgs/gaussian_renderer/__init__.py:111-154):
     pipelined gradient write-out), recomputes the ray-splat homography,
     and emits
     per-key gradients for all 21 stream rows (adj(M) 9, zrow 3, center xy
-    2, color 3, opacity 1, normal 3) at COMPACT stream positions on the
+    2, color 3, normal 3, opacity 1) at COMPACT stream positions on the
     global chunk grid, side-routing each program's final carry block (the
     only block another program can share) exactly like pallas_bwd;
   * gradients through the alpha=0.99 clamp propagate unconditionally
@@ -44,7 +44,7 @@ from .common import (
     grid_dims,
 )
 from .pallas import _compact_routing, _f32, _i32, compact_block_scatter
-from .pallas_fwd import _scan_mm, _strict_lower_tri, tiles_cp_to_image
+from .pallas_fwd import _acc_mm, _scan_mm, _strict_lower_tri, tiles_cp_to_image
 from .pallas_bwd import _rev_cumsum_mxu, _suffix_tri
 from .pallas_surfel import SURFEL_ROWS
 from .surfel import (
@@ -77,7 +77,7 @@ def _surfel_geometry(cur, pix_x, pix_y):
     a3x, a3y, a3z = cur[6:7, :], cur[7:8, :], cur[8:9, :]
     zu, zv, zc = cur[9:10, :], cur[10:11, :], cur[11:12, :]
     cx, cy = cur[12:13, :], cur[13:14, :]
-    opa = cur[17:18, :]
+    opa = cur[20:21, :]
 
     sx = a1x * pix_x + a1y * pix_y + a1z      # [p, C]
     sy = a2x * pix_x + a2y * pix_y + a2z
@@ -175,7 +175,7 @@ def _surfel_train_fwd_kernel(
 
         def body(carry, g=g, start=start, head=head, count=count,
                  n_chunks=n_chunks, pix_x=pix_x, pix_y=pix_y):
-            (ci, t_carry, stopped, acc_c, acc_d, acc_n, med, acc_dist,
+            (ci, t_carry, stopped, acc_cn, acc_d, med, acc_dist,
              a_run, d_run, d2_run, n_con, n_med) = carry
             slot = jnp.where(ci == 0, g, group + (ci - 1) % 3)
             _copy(start, ci, slot).wait()
@@ -201,16 +201,9 @@ def _surfel_train_fwd_kernel(
             include = jnp.logical_and(stopped < 0.5, t_after >= T_EPS)
             w = jnp.where(include, alpha * t_before, 0.0)
 
-            colors = cur[14:17, :]
-            acc_c = acc_c + jax.lax.dot_general(
-                colors, w, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-            )
-            normals = cur[18:21, :]
-            acc_n = acc_n + jax.lax.dot_general(
-                normals, w, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-            )
+            # color+normal accumulate in ONE [6, C] x [C, p] bf16x3
+            # contraction (rows 14-19 adjacent by stream layout)
+            acc_cn = acc_cn + _acc_mm(cur[14:20, :], w, ((1,), (1,)))
             acc_d = acc_d + jnp.sum(w * z, axis=1, keepdims=True)
 
             contrib = jnp.logical_and(include, alpha > 0.0)
@@ -249,7 +242,7 @@ def _surfel_train_fwd_kernel(
             stopped = jnp.maximum(
                 stopped, (t_after[:, chunk - 1 : chunk] < T_EPS).astype(jnp.float32)
             )
-            return (ci + 1, t_carry, stopped, acc_c, acc_d, acc_n, med, acc_dist,
+            return (ci + 1, t_carry, stopped, acc_cn, acc_d, med, acc_dist,
                     a_run, d_run, d2_run, n_con, n_med)
 
         def cond_fn(carry, n_chunks=n_chunks):
@@ -260,12 +253,13 @@ def _surfel_train_fwd_kernel(
         zi = jnp.zeros((p, 1), jnp.int32)
         init = (
             jnp.int32(0), jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32),
-            jnp.zeros((3, p), jnp.float32), zeros1,
-            jnp.zeros((3, p), jnp.float32), zeros1, zeros1, zeros1, zeros1, zeros1,
+            jnp.zeros((6, p), jnp.float32), zeros1,
+            zeros1, zeros1, zeros1, zeros1, zeros1,
             zi, zi,
         )
-        (ci_final, t_final, _, acc_c, acc_d, acc_n, med, acc_dist,
+        (ci_final, t_final, _, acc_cn, acc_d, med, acc_dist,
          _, d_run, d2_run, n_con, n_med) = jax.lax.while_loop(cond_fn, body, init)
+        acc_c, acc_n = acc_cn[:3], acc_cn[3:]
 
         # drain in-flight prefetches on early exit (2-deep pipeline)
         for d in (0, 1):
@@ -380,9 +374,10 @@ def _surfel_bwd_kernel(
         g_t = bg[0] * g_c[0:1, :] + bg[1] * g_c[1:2, :] + bg[2] * g_c[2:3, :] - g_a
         gt_term = (t_final_row * g_t).reshape(p, 1)
         g_d_col = g_d.reshape(p, 1)
+        g_cn = jnp.concatenate([g_c, g_n], axis=0)   # [6, P] color+normal
 
         def body(carry, g=g, start=start, head=head, count=count, hi=hi,
-                 cbase=cbase, pix_x=pix_x, pix_y=pix_y, g_c=g_c, g_n=g_n,
+                 cbase=cbase, pix_x=pix_x, pix_y=pix_y, g_cn=g_cn,
                  g_med=g_med, g_dist=g_dist, a_all=a_all, gt_term=gt_term,
                  g_d_col=g_d_col, n_con_col=n_con_col, n_med_col=n_med_col,
                  d_all=d_all, d2_all=d2_all):
@@ -417,7 +412,10 @@ def _surfel_bwd_kernel(
             t_before = t_run * jnp.exp(-revlog)
             w = jnp.where(include, alpha_eff * t_before, 0.0)
 
-            m = FF * (1.0 - NEAR_PLANE / jnp.maximum(z, 1e-6))
+            # ONE reciprocal serves both m and dm/dz (was a divide each):
+            # m = FF (1 - NEAR/z), dm/dz = FF NEAR / z^2 = FF NEAR izm^2
+            izm = 1.0 / jnp.maximum(z, 1e-6)
+            m = FF - (FF * NEAR_PLANE) * izm
             wm = w * m
             wm2 = wm * m
             # telescoped distortion coefficients (prefix+suffix totals)
@@ -426,17 +424,9 @@ def _surfel_bwd_kernel(
             d2_bar = d2_all - wm2
             psi = m * m * a_bar + d2_bar - 2.0 * m * d_bar
 
-            colors = cur[14:17, :]
-            normals = cur[18:21, :]
-            # u_i(p) = c.g_C + n.g_N + z g_D + g_dist psi
-            uu = jax.lax.dot_general(
-                g_c, colors, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-            )
-            uu = uu + jax.lax.dot_general(
-                g_n, normals, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-            )
+            # u_i(p) = c.g_C + n.g_N + z g_D + g_dist psi: one
+            # [6]-contraction over the adjacent color+normal rows
+            uu = _acc_mm(g_cn, cur[14:20, :], ((0,), (0,)))
             uu = uu + g_d_col * z + g_dist * psi
 
             wu = w * uu
@@ -450,7 +440,7 @@ def _surfel_bwd_kernel(
 
             # dL/dz: expected-depth, distortion (dm/dz), median select
             dm = g_dist * 2.0 * w * (m * a_bar - d_bar)
-            dmdz = FF * NEAR_PLANE / jnp.maximum(z * z, 1e-12)
+            dmdz = (FF * NEAR_PLANE) * izm * izm
             ismed = ((kpos - head) + 1) == n_med_col
             dz = w * g_d_col + dm * dmdz + jnp.where(ismed, g_med, 0.0)
 
@@ -486,14 +476,10 @@ def _surfel_bwd_kernel(
             def pxsum(x):
                 return jnp.sum(x, axis=0, keepdims=True)        # [1, C]
 
-            d_color = jax.lax.dot_general(
-                g_c, w, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-            )
-            d_normal = jax.lax.dot_general(
-                g_n, w, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
-            )
+            # d_color+d_normal in one [6, C] contraction; rows 14-19 =
+            # d_color, d_normal, row 20 = d_opa (matches the stream/table
+            # layout so the scatter target columns line up)
+            d_cn = _acc_mm(g_cn, w, ((1,), (0,)))               # [6, C]
             g24 = jnp.concatenate(
                 [
                     pxsum(dsx * pix_x), pxsum(dsx * pix_y), pxsum(dsx),
@@ -501,7 +487,7 @@ def _surfel_bwd_kernel(
                     pxsum(dsz * pix_x), pxsum(dsz * pix_y), pxsum(dsz),
                     pxsum(d_zu_px), pxsum(d_zv_px), pxsum(d_zc_px),
                     pxsum(d_cx_px), pxsum(d_cy_px),
-                    d_color, pxsum(d_opa_px), d_normal,
+                    d_cn, pxsum(d_opa_px),
                     jnp.zeros((3, chunk), jnp.float32),
                 ],
                 axis=0,
@@ -718,7 +704,7 @@ def _surfel_bwd_call(
     return out_grads
 
 
-SURFEL_COLS = 21  # table columns: M 9, zrow 3, xy 2, color 3, opa 1, normal 3
+SURFEL_COLS = 21  # table columns: M 9, zrow 3, xy 2, color 3, normal 3, opa 1
 
 
 @functools.lru_cache(maxsize=64)
@@ -782,11 +768,10 @@ def _make_surfel_composite(width: int, height: int, cfg: RasterConfig,
         )
         # block-compacted unsorted scatter-add onto gaussians (full-scatter
         # cond fallback inside; see pallas.compact_block_scatter)
-        d_table24 = compact_block_scatter(
+        d_table = compact_block_scatter(
             grads_padded, g_drop, tile_start, tile_count, ncon_t,
-            n_rows, cfg.bwd_blocks(k_pad // chunk),
+            n_rows, cfg.bwd_blocks(k_pad // chunk), useful_rows=SURFEL_COLS,
         )
-        d_table = d_table24[:, :SURFEL_COLS]
 
         t_final = 1.0 - alpha_t
         d_bg = jnp.sum(t_final * g_color_t, axis=(0, 2))
@@ -828,7 +813,7 @@ def rasterize_surfel_pallas(
     extra = jnp.concatenate(
         [
             surfel_adj(prep.M), prep.zrow, prep.xy,
-            prep.color, prep.opacity[:, None], prep.normal,
+            prep.color, prep.normal, prep.opacity[:, None],
         ],
         axis=1,
     )

@@ -114,7 +114,7 @@ def tuned_raster_config(
     trainer apps and bench.py do).
 
     bwd_block_frac=0.66 compacts the backward gradient scatter-add to the
-    chunk blocks that intersect a pre-termination range (measured ~57% of
+    chunk blocks that intersect a pre-termination range (measured 57.3% of
     K_pad at bench scale; overflow falls back to the full scatter inside a
     lax.cond, so the fraction is a speed knob, never a correctness one).
     """

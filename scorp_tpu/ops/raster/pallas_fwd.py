@@ -551,7 +551,11 @@ def _fwd_kernel(
             # Mosaic). NOTE: replacing this reduce (and the n_contrib max)
             # with masked-log/count MXU dots measured a net LOSS on v5e —
             # the bf16 operand-split casts cost more VPU ops than the
-            # cross-lane reduce they replace. Don't retry.
+            # cross-lane reduce they replace. Don't retry. SECOND dead end:
+            # a lax.cond fast path (skip include/min-reduce/stopped when no
+            # pixel stopped and the chunk's last t_after clears T_EPS)
+            # measured 11.87 -> 16.30 ms on v5e — Mosaic branch overhead in
+            # the hot while body swamps the ~15 VPU ops saved. Don't retry.
             t_carry = jnp.min(
                 jnp.where(include, t_after, t_carry), axis=1, keepdims=True
             )

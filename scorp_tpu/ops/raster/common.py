@@ -32,6 +32,7 @@ feeds the autodiff XLA compositor used as the golden reference.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -766,15 +767,22 @@ def sorted_expansion(
 
 
 def conic_chol(conic: jnp.ndarray) -> jnp.ndarray:
-    """[N, 3] Cholesky factor (l11, l21, l22) of the conic [[A,B],[B,C]].
+    """[N, 3] scaled Cholesky factor (l11, l21, l22) of the conic
+    [[A,B],[B,C]], in BASE-2 exponent units.
 
-    A dx^2 + 2B dx dy + C dy^2 = u^2 + v^2 with u = l11 dx + l21 dy and
-    v = l22 dy, so the compositor kernels evaluate the Gaussian exponent in
-    8 VPU ops instead of 11 AND the quadratic is non-negative by
-    construction (the power<=0 validity test disappears; the conic is PSD
-    after the +0.3 low-pass dilation, so the factorization is exact).
-    Differentiable: d(l..) flows back to d(conic) through the sqrt chain
-    outside the custom-VJP boundary.
+    A dx^2 + 2B dx dy + C dy^2 = (u^2 + v^2)/log2(e) with
+    u = l11 dx + l21 dy and v = l22 dy: the sqrt(log2 e) scale is folded
+    into the factor here (one [N,3] multiply outside the kernels) so the
+    compositor kernels evaluate alpha as opa * exp2(-0.5 (u^2+v^2)) — the
+    hardware exponential without the per-element log2(e) multiply that
+    jnp.exp's lowering would add to every [P, C] block. The kernels
+    evaluate the exponent in 8 VPU ops instead of 11 AND the quadratic is
+    non-negative by construction (the power<=0 validity test disappears;
+    the conic is PSD after the +0.3 low-pass dilation, so the
+    factorization is exact). Differentiable: d(l..) flows back to
+    d(conic) through the sqrt chain outside the custom-VJP boundary (the
+    backward kernel emits gradients wrt the SCALED rows and the chain
+    rule absorbs the constant).
     """
     a = jnp.maximum(conic[:, 0], 1e-12)
     b = conic[:, 1]
@@ -782,7 +790,8 @@ def conic_chol(conic: jnp.ndarray) -> jnp.ndarray:
     l11 = jnp.sqrt(a)
     l21 = b / l11
     l22 = jnp.sqrt(jnp.maximum(c - l21 * l21, 1e-12))
-    return jnp.stack([l11, l21, l22], axis=1)
+    k2 = math.sqrt(math.log2(math.e))
+    return k2 * jnp.stack([l11, l21, l22], axis=1)
 
 
 def bin_stream(

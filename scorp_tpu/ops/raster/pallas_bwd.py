@@ -19,9 +19,9 @@ but vectorized over [P pixels, C keys] blocks:
     MXU exponent; see pallas_fwd), so the two kernels agree bit-for-bit on
     the alpha-threshold tests;
   * within a chunk, T_before_i = T_run / prod_{j>=i}(1-a_j) is reconstructed
-    in log space (one triangular MXU contraction + exp; numerically safe:
+    in log2 space (one triangular MXU contraction + exp2; numerically safe:
     the termination rule keeps every running product >= T_EPS, and
-    alpha <= 0.99 bounds each log term by 4.6), and the suffix sums
+    alpha <= 0.99 bounds each log2 term by 6.7), and the suffix sums
     S_i = sum_{j>i} w_j u_j are one more MXU contraction;
   * per-key gradients are reduced over pixels (MXU contractions for
     color/depth, sublane reductions for the geometry terms) and written at
@@ -67,6 +67,7 @@ from .pallas_fwd import (
 
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
+LN2 = 0.6931471805599453
 
 
 def _rev_cumsum_mxu(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
@@ -235,7 +236,10 @@ def _bwd_kernel(
                 power = _mm(basis, coefs, ((1,), (0,)))        # [p, C]
             else:
                 power = -0.5 * (su * su + sv * sv)   # <= 0 by construction
-            big_g = jnp.exp(power)
+            # rows 2-4 are in base-2 exponent units (common.conic_chol
+            # folds sqrt(log2 e) into the factor): exp2 is the hardware
+            # exponential without the per-element log2(e) multiply
+            big_g = jnp.exp2(power)
             alpha_u = opa * big_g
             alpha = jnp.minimum(ALPHA_MAX, alpha_u)
             kpos = ci * chunk + lane         # [1, C] position relative to base
@@ -246,10 +250,12 @@ def _bwd_kernel(
             include = in_seg & ((kpos - head) < n_con_col)            # [p, C]
             om = jnp.where(include, 1.0 - alpha_eff, 1.0)
 
-            # T_before_i = T_run / prod_{j>=i} om_j, in log space: one
-            # triangular MXU contraction + exp (each |log om| <= 4.6)
-            revlog = _scan_mm(jnp.log(om), tri)     # [p, C]
-            t_before = t_run * jnp.exp(-revlog)
+            # T_before_i = T_run / prod_{j>=i} om_j, in log2 space: one
+            # triangular MXU contraction + exp2 (each |log2 om| <= 6.7;
+            # base 2 so the ln2/log2e factors cancel between log and exp,
+            # saving one [p,C] multiply inside each lowering)
+            revlog = _scan_mm(jnp.log2(om), tri)    # [p, C]
+            t_before = t_run * jnp.exp2(-revlog)
             w = jnp.where(include, alpha_eff * t_before, 0.0)
 
             # u_i(p) = c_i . g_C(p) + d_i g_D(p): one [4]-contraction over
@@ -270,14 +276,26 @@ def _bwd_kernel(
             # L-form chain: dpower/dl11 = -su dx, /dl21 = -su dy,
             # /dl22 = -sv dy, /dx = -su l11, /dy = -(su l21 + sv l22); the
             # mean gradients need only the REDUCED Σ su·dpow and Σ sv·dpow,
-            # so the per-key l.. multiplies run on [1, C] after reduction
+            # so the per-key l.. multiplies run on [1, C] after reduction.
+            # DEAD END (measured): routing these axis-0 reductions through
+            # the MXU as [3,p] pixel-monomial contractions (pix3 @ ud with
+            # telescoped Σ ud·dx = gxl·r_u - Σ ud·px_loc, HIGHEST f32 so no
+            # VPU operand splits) regressed the bwd kernel 12.33 -> 14.29 ms
+            # per-fusion on v5e at bench scale — HIGHEST's 6-pass f32
+            # emulation on three [3,p]x[p,C] dots costs more than the five
+            # cross-sublane reduce chains it replaces. Same failure mode as
+            # the fwd kernel's masked-log/count MXU dots. Don't retry.
+            # base-2 chain: alpha_u = opa * 2^power, so d alpha_u/d power
+            # picks up ln2 — applied to the REDUCED [1,C] rows below (five
+            # cheap multiplies), never on [p,C]. d_opa needs no ln2
+            # (d alpha_u/d opa = big_g directly).
             ud = su * dpow
             vd = sv * dpow
-            r_u = jnp.sum(ud, axis=0, keepdims=True)                   # [1, C]
-            r_v = jnp.sum(vd, axis=0, keepdims=True)
-            d_l11 = -jnp.sum(ud * dx, axis=0, keepdims=True)
-            d_l21 = -jnp.sum(ud * dy, axis=0, keepdims=True)
-            d_l22 = -jnp.sum(vd * dy, axis=0, keepdims=True)
+            r_u = LN2 * jnp.sum(ud, axis=0, keepdims=True)             # [1, C]
+            r_v = LN2 * jnp.sum(vd, axis=0, keepdims=True)
+            d_l11 = -LN2 * jnp.sum(ud * dx, axis=0, keepdims=True)
+            d_l21 = -LN2 * jnp.sum(ud * dy, axis=0, keepdims=True)
+            d_l22 = -LN2 * jnp.sum(vd * dy, axis=0, keepdims=True)
             d_gx = -(l11 * r_u)
             d_gy = -(l21 * r_u + l22 * r_v)
             d_opa = jnp.sum(big_g * dalpha, axis=0, keepdims=True)
@@ -336,7 +354,7 @@ def _bwd_kernel(
             cslot = jnp.where(nm, new_slot, cslot)
             cblk = jnp.where(nm, B, cblk)
 
-            t_run = t_run * jnp.exp(-revlog[:, 0:1])
+            t_run = t_run * jnp.exp2(-revlog[:, 0:1])
             s_run = s_run + revsum_incl[:, 0:1]
             return ci - 1, t_run, s_run, cblk, cslot, w0, w1
 

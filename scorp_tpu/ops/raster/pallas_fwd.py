@@ -19,12 +19,15 @@ hierarchy instead of translated:
     (dx/dy/conic products). Tile-local coordinates keep it exact: the 0.3px
     low-pass dilation bounds conic entries by ~3.3, so every matmul term is
     O(10^3) and f32 accumulation holds power to ~1e-4 absolute;
-  * the sequential front-to-back transmittance recurrence runs in log
-    space on the MXU: cumprod_i (1-a_j) = exp(sum log(1-a_j)) with the
+  * the sequential front-to-back transmittance recurrence runs in log2
+    space on the MXU: cumprod_i (1-a_j) = exp2(sum log2(1-a_j)) with the
     prefix sum as one [P,C]x[C,C] triangular contraction — replacing the
     log2(C)-step masked Hillis-Steele roll chain that dominated the VPU
-    cost. alpha <= 0.99 keeps log(1-a) in [-4.6, 0], so the exp/log round
-    trip costs ~1e-6 relative — below the alpha-threshold tie noise;
+    cost. Base 2 throughout (incl. the alpha exponent, whose sqrt(log2 e)
+    is folded into the stream's Cholesky rows by common.conic_chol): each
+    transcendental's lowering drops its ln2/log2(e) multiply. alpha <=
+    0.99 keeps log2(1-a) in [-6.7, 0], so the exp/log round trip costs
+    ~1e-6 relative — below the alpha-threshold tie noise;
   * the CUDA early-termination rule is exact here because the running
     transmittance is monotone non-increasing: a Gaussian is included iff
     T*prod_{j<=i}(1-a_j) >= 1e-4 and no earlier key of the pixel already
@@ -292,7 +295,7 @@ def _fwd_tile_pipelined(
         u = cur[2:3, :] * dx + cur[3:4, :] * dy
         v = cur[4:5, :] * dy
         power = -0.5 * (u * u + v * v)
-        alpha = jnp.minimum(ALPHA_MAX, cur[9:10, :] * jnp.exp(power))
+        alpha = jnp.minimum(ALPHA_MAX, cur[9:10, :] * jnp.exp2(power))
         kpos = ci * chunk + lane  # position relative to `base`
         valid = (kpos >= head) & (kpos < head + count)
         return jnp.where(valid & (alpha >= ALPHA_MIN), alpha, 0.0)
@@ -319,7 +322,7 @@ def _fwd_tile_pipelined(
 
         # 1) issue this chunk's scan contractions (MXU); the combining add
         # happens at step 3, after the independent VPU work
-        logx = jnp.log(1.0 - alpha)
+        logx = jnp.log2(1.0 - alpha)
         s1, s2 = _scan_mm_parts(logx, ltri)
 
         # 2) next chunk's alpha chain (VPU) while the MXU runs
@@ -343,7 +346,7 @@ def _fwd_tile_pipelined(
 
         # 3) consume the scan: exclusive running (1-alpha) product in log
         # space; then the CUDA termination rule (see the serial body)
-        cum_excl = jnp.exp(s1 if s2 is None else s1 + s2)
+        cum_excl = jnp.exp2(s1 if s2 is None else s1 + s2)
         t_before = t_carry * cum_excl
         t_after = t_before * (1.0 - alpha)
         include = jnp.logical_and(stopped < 0.5, t_after >= T_EPS)
@@ -418,6 +421,7 @@ def _fwd_kernel(
     pid = pl.program_id(0)
     p = TILE * TILE
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    ones_row = jnp.ones((1, chunk), jnp.float32)
     basis = _pixel_basis(p) if MXU_POWER else None
     ltri = _strict_lower_tri(chunk) if MXU_SCAN else None
     def _copy(start, ci, slot):
@@ -499,10 +503,13 @@ def _fwd_kernel(
                 coefs = _power_coefs(cur, tx_px, ty_px, chunk)
                 power = _power_mm(basis, coefs)              # [p, C] MXU
             else:
-                # rows 2-4 hold the conic CHOLESKY factor (common.conic_chol):
-                # power = -0.5 (u^2 + v^2), u = l11 dx + l21 dy, v = l22 dy —
-                # 8 VPU ops, and power <= 0 by construction (the PSD validity
-                # test the conic form needed disappears)
+                # rows 2-4 hold the scaled conic CHOLESKY factor
+                # (common.conic_chol, base-2 exponent units): power =
+                # -0.5 (u^2 + v^2) is the LOG2 exponent, u = l11 dx +
+                # l21 dy, v = l22 dy — 8 VPU ops, power <= 0 by
+                # construction (the PSD validity test the conic form
+                # needed disappears), and exp2 is the hardware exponential
+                # without the log2(e) multiply jnp.exp's lowering adds
                 pix_row = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
                 pix_x = tx_px + (pix_row % TILE).astype(jnp.float32)
                 pix_y = ty_px + (pix_row // TILE).astype(jnp.float32)
@@ -512,16 +519,20 @@ def _fwd_kernel(
                 v = cur[4:5, :] * dy
                 power = -0.5 * (u * u + v * v)
             opa = cur[9:10, :]
-            alpha = jnp.minimum(ALPHA_MAX, opa * jnp.exp(power))
+            alpha = jnp.minimum(ALPHA_MAX, opa * jnp.exp2(power))
             kpos = ci * chunk + lane  # position relative to `base`
             valid = (kpos >= head) & (kpos < head + count)
             alpha = jnp.where(valid & (alpha >= ALPHA_MIN), alpha, 0.0)
 
-            # exclusive running (1-alpha) product along the chunk, in log
-            # space: one triangular MXU contraction instead of a lane scan
+            # exclusive running (1-alpha) product along the chunk, in log2
+            # space: one triangular MXU contraction instead of a lane scan.
+            # Base 2 throughout — the ln2/log2(e) factors between log and
+            # exp cancel exactly, saving one [p,C] multiply inside EACH
+            # transcendental's lowering (exp(x) lowers as exp2(x*log2e),
+            # log(x) as log2(x)*ln2).
             if MXU_SCAN:
-                logx = jnp.log(1.0 - alpha)                   # [p, C] <= 0
-                cum_excl = jnp.exp(_scan_mm(logx, ltri))
+                logx = jnp.log2(1.0 - alpha)                  # [p, C] <= 0
+                cum_excl = jnp.exp2(_scan_mm(logx, ltri))
             else:
                 cum_excl = _cumprod_excl_lanes(1.0 - alpha, chunk)
             t_before = t_carry * cum_excl
@@ -533,9 +544,21 @@ def _fwd_kernel(
             include = jnp.logical_and(stopped < 0.5, t_after >= T_EPS)
             weight = jnp.where(include, alpha * t_before, 0.0)
 
-            # color+depth accumulate in ONE [4, C] x [C, p] contraction
-            # (rows 5-8 are color, depth — adjacent by stream layout)
-            acc_cd = acc_cd + _acc_mm(cur[5:9, :], weight, ((1,), (1,)))
+            if track_ncontrib:
+                # train path: color+depth accumulate in ONE [4, C] x [C, p]
+                # contraction (rows 5-8 adjacent by stream layout)
+                acc_cd = acc_cd + _acc_mm(cur[5:9, :], weight, ((1,), (1,)))
+            else:
+                # render path: a constant ones row rides the contraction so
+                # accumulator row 4 collects Σ weight, which telescopes
+                # EXACTLY to 1 - T_terminated over the included prefix:
+                # Σ a_i ∏_{j<i}(1-a_j) = 1 - ∏(1-a_i). The terminated
+                # transmittance is a free byproduct of the matmul — see the
+                # t_carry note below.
+                acc_cd = acc_cd + _acc_mm(
+                    jnp.concatenate([cur[5:9, :], ones_row], axis=0),
+                    weight, ((1,), (1,)),
+                )
             if track_ncontrib:
                 # n_contrib = 1-based stream position (from the segment
                 # start) of the last included key with alpha > 0 — the
@@ -546,23 +569,36 @@ def _fwd_kernel(
                     n_con,
                     jnp.max(jnp.where(contrib, pos1, 0), axis=1, keepdims=True),
                 )
-            # included set is a per-pixel prefix -> post-chunk T is the
-            # smallest included t_after (reduce_min; no reduce_prod in
-            # Mosaic). NOTE: replacing this reduce (and the n_contrib max)
-            # with masked-log/count MXU dots measured a net LOSS on v5e —
-            # the bf16 operand-split casts cost more VPU ops than the
-            # cross-lane reduce they replace. Don't retry. SECOND dead end:
-            # a lax.cond fast path (skip include/min-reduce/stopped when no
-            # pixel stopped and the chunk's last t_after clears T_EPS)
-            # measured 11.87 -> 16.30 ms on v5e — Mosaic branch overhead in
-            # the hot while body swamps the ~15 VPU ops saved. Don't retry.
-            t_carry = jnp.min(
-                jnp.where(include, t_after, t_carry), axis=1, keepdims=True
-            )
-            stopped = jnp.maximum(
-                stopped,
-                (t_after[:, chunk - 1 : chunk] < T_EPS).astype(jnp.float32),
-            )
+            last = t_after[:, chunk - 1 : chunk]
+            if track_ncontrib:
+                # train path: post-chunk T is the smallest included t_after
+                # (the included set is a per-pixel prefix). The min-reduce is
+                # REQUIRED here: the backward kernel reconstructs every
+                # t_before multiplicatively from this terminated T, so the
+                # render path's cancellative 1 - Σweight form (absolute
+                # error ~1e-5 vs T_term as small as 1e-4) corrupts
+                # saturated-pixel gradients — measured: the grads-at-
+                # saturation parity test fails at rtol 1e-3. NOTE two more
+                # recorded dead ends: replacing this reduce (or the
+                # n_contrib max) with masked-log/count MXU dots loses (bf16
+                # operand-split casts cost more than the reduce), and a
+                # lax.cond fast path skipping include/min-reduce/stopped
+                # measured 11.87 -> 16.30 ms — Mosaic branch overhead in
+                # the hot while body. Don't retry either.
+                t_carry = jnp.min(
+                    jnp.where(include, t_after, t_carry), axis=1, keepdims=True
+                )
+            else:
+                # render path: the carry is the chunk's FULL product (the
+                # last-lane t_after; masked lanes have alpha = 0 so they
+                # don't perturb it). Exact for every chunk that matters:
+                # once a pixel crosses T_EPS, `stopped` masks all later
+                # weights, so the continued-past-termination carry is never
+                # observable — and the OUTPUT transmittance comes from the
+                # telescoped Σ-weight accumulator row, not this carry.
+                # Removes the cross-lane min-reduce from the hot body.
+                t_carry = last
+            stopped = jnp.maximum(stopped, (last < T_EPS).astype(jnp.float32))
             return ci + 1, t_carry, stopped, acc_cd, n_con
 
         def cond(carry, n_chunks=n_chunks):
@@ -571,7 +607,8 @@ def _fwd_kernel(
 
         t0 = jnp.ones((p, 1), jnp.float32)
         stop0 = jnp.zeros((p, 1), jnp.float32)
-        acc_cd0 = jnp.zeros((4, p), jnp.float32)
+        acc_rows = 4 if track_ncontrib else 5
+        acc_cd0 = jnp.zeros((acc_rows, p), jnp.float32)
         n0 = jnp.zeros((p, 1), jnp.int32)
         ci_final, t_final, _, acc_cd, n_inc = jax.lax.while_loop(
             cond, body, (jnp.int32(0), t0, stop0, acc_cd0, n0)
@@ -587,13 +624,17 @@ def _fwd_kernel(
                 slot = jnp.where(ci_d == 0, g, group + (ci_d - 1) % 3)
                 _copy(start, ci_d, slot).wait()
 
-        t_row = t_final.reshape(1, p)
+        if track_ncontrib:
+            a_row = 1.0 - t_final.reshape(1, p)
+        else:
+            # acc row 4 = Σ weight = 1 - T_terminated (telescoped)
+            a_row = acc_cd[4:5]
         bg = bg_ref
-        out_color_ref[g, 0, :] = acc_c[0, :] + t_row[0, :] * bg[0]
-        out_color_ref[g, 1, :] = acc_c[1, :] + t_row[0, :] * bg[1]
-        out_color_ref[g, 2, :] = acc_c[2, :] + t_row[0, :] * bg[2]
+        out_color_ref[g, 0, :] = acc_c[0, :] + (1.0 - a_row[0, :]) * bg[0]
+        out_color_ref[g, 1, :] = acc_c[1, :] + (1.0 - a_row[0, :]) * bg[1]
+        out_color_ref[g, 2, :] = acc_c[2, :] + (1.0 - a_row[0, :]) * bg[2]
         out_depth_ref[g, 0, :] = acc_d[0, :]
-        out_alpha_ref[g, 0, :] = 1.0 - t_row[0, :]
+        out_alpha_ref[g, 0, :] = a_row[0, :]
         out_ncontrib_ref[g, 0, :] = n_inc.reshape(1, p)[0, :]
 
 

@@ -56,6 +56,7 @@ from .surfel import (
 )
 
 SURFEL_ROWS = 24
+NC2 = -0.5 * 1.4426950408889634  # -0.5 * log2(e)
 
 
 def surfel_stream(prep: SurfelPrep, width: int, height: int, cfg: RasterConfig,
@@ -201,7 +202,9 @@ def _surfel_fwd_kernel(
             rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
             use3d = rho3d <= rho2d
             rho = jnp.minimum(rho3d, rho2d)
-            alpha = jnp.minimum(ALPHA_MAX, opa * jnp.exp(-0.5 * rho))
+            # exp2 with -0.5*log2(e) folded into ONE constant multiply
+            # (pallas_surfel_train._surfel_geometry has the derivation)
+            alpha = jnp.minimum(ALPHA_MAX, opa * jnp.exp2(NC2 * rho))
             z = jnp.where(use3d, u * zu + v * zv + zc, zc)
             kpos = ci * chunk + lane
             valid = (kpos >= head) & (kpos < head + count)
@@ -209,7 +212,9 @@ def _surfel_fwd_kernel(
 
             # exclusive (1-alpha) product in log space: one triangular MXU
             # contraction replaces the log2(C)-step Hillis-Steele (pallas_fwd)
-            cum_excl = jnp.exp(_scan_mm(jnp.log(1.0 - alpha), ltri))
+            # base-2 scan: the ln2/log2e factors cancel between log and
+            # exp, saving one [p,C] multiply per lowering (pallas_fwd)
+            cum_excl = jnp.exp2(_scan_mm(jnp.log2(1.0 - alpha), ltri))
             t_before = t_carry * cum_excl
             t_after = t_before * (1.0 - alpha)
             # reference sticky-done rule across chunks (see pallas_fwd.py);
@@ -252,10 +257,16 @@ def _surfel_fwd_kernel(
             d_run = d_run + s1
             d2_run = d2_run + s2
 
-            t_carry = jnp.min(jnp.where(include, t_after, t_carry), axis=1, keepdims=True)
-            stopped = jnp.maximum(
-                stopped, (t_after[:, chunk - 1 : chunk] < T_EPS).astype(jnp.float32)
-            )
+            # Next-chunk carry = the chunk's full product (last-lane
+            # t_after): once a pixel crosses T_EPS, `stopped` masks every
+            # later weight, so the continued-past-termination carry is never
+            # observable — and the OUTPUT transmittance is free from the
+            # distortion bookkeeping (a_run = Σ w telescopes to
+            # 1 - T_terminated over the included prefix). Removes the
+            # cross-lane min-reduce from the hot body (see pallas_fwd.py).
+            last = t_after[:, chunk - 1 : chunk]
+            t_carry = last
+            stopped = jnp.maximum(stopped, (last < T_EPS).astype(jnp.float32))
             return (ci + 1, t_carry, stopped, acc_cn, acc_d, med, acc_dist,
                     a_run, d_run, d2_run)
 
@@ -270,10 +281,12 @@ def _surfel_fwd_kernel(
             jnp.zeros((6, p), jnp.float32), zeros1,
             zeros1, zeros1, zeros1, zeros1, zeros1,
         )
-        (ci_final, t_final, _, acc_cn, acc_d, med, acc_dist, *_) = (
+        (ci_final, _, _, acc_cn, acc_d, med, acc_dist, a_run, *_) = (
             jax.lax.while_loop(cond_fn, body, init)
         )
         acc_c, acc_n = acc_cn[:3], acc_cn[3:]
+        # a_run = Σ weight = 1 - T_terminated (telescoped, see the body)
+        t_final = 1.0 - a_run
 
         # drain in-flight prefetches on early exit (2-deep pipeline)
         for d in (0, 1):

@@ -62,6 +62,7 @@ from .surfel import (
 )
 
 FF = FAR_PLANE / (FAR_PLANE - NEAR_PLANE)
+NC = -0.5 * 1.4426950408889634  # -0.5 * log2(e): base-2 exponent
 
 
 def _surfel_geometry(cur, pix_x, pix_y):
@@ -95,7 +96,10 @@ def _surfel_geometry(cur, pix_x, pix_y):
     rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
     use3d = rho3d <= rho2d
     rho = jnp.minimum(rho3d, rho2d)
-    big_g = jnp.exp(-0.5 * rho)
+    # exp2 with the -0.5*log2(e) folded into ONE constant multiply (exp's
+    # lowering would spend a second [p,C] multiply on log2e). The rho
+    # gradient chain is UNCHANGED: d big_g/d rho = NC*ln2*big_g = -0.5*big_g.
+    big_g = jnp.exp2(NC * rho)
     alpha_u = opa * big_g
     alpha = jnp.minimum(ALPHA_MAX, alpha_u)
     z = jnp.where(use3d, u * zu + v * zv + zc, zc)
@@ -195,7 +199,9 @@ def _surfel_train_fwd_kernel(
 
             # exclusive (1-alpha) product in log space: one triangular MXU
             # contraction replaces the log2(C)-step Hillis-Steele (see pallas_fwd)
-            cum_excl = jnp.exp(_scan_mm(jnp.log(1.0 - alpha), ltri))
+            # base-2 scan: the ln2/log2e factors cancel between log and
+            # exp, saving one [p,C] multiply per lowering (pallas_fwd)
+            cum_excl = jnp.exp2(_scan_mm(jnp.log2(1.0 - alpha), ltri))
             t_before = t_carry * cum_excl
             t_after = t_before * (1.0 - alpha)
             include = jnp.logical_and(stopped < 0.5, t_after >= T_EPS)
@@ -408,8 +414,8 @@ def _surfel_bwd_kernel(
             om = jnp.where(include, 1.0 - alpha_eff, 1.0)
             # T_before = T_run / prod_{j>=i} om_j, reconstructed in log space via
             # one triangular MXU contraction (alpha <= 0.99 bounds each term)
-            revlog = _scan_mm(jnp.log(om), tri)
-            t_before = t_run * jnp.exp(-revlog)
+            revlog = _scan_mm(jnp.log2(om), tri)  # base-2 (see pallas_fwd)
+            t_before = t_run * jnp.exp2(-revlog)
             w = jnp.where(include, alpha_eff * t_before, 0.0)
 
             # ONE reciprocal serves both m and dm/dz (was a divide each):
@@ -531,7 +537,7 @@ def _surfel_bwd_kernel(
             cslot = jnp.where(nm, new_slot, cslot)
             cblk = jnp.where(nm, B, cblk)
 
-            t_run = t_run * jnp.exp(-revlog[:, 0:1])
+            t_run = t_run * jnp.exp2(-revlog[:, 0:1])
             s_run = s_run + revsum_incl[:, 0:1]
             return ci - 1, t_run, s_run, cblk, cslot, w0, w1
 

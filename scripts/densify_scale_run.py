@@ -187,11 +187,11 @@ def main():
     print(f"total wall-clock: {wall:.0f}s ({iters / wall:.2f} it/s)")
 
     # post-run assertions (VERDICT item 4: zero drops, no divergence)
-    from scorp_tpu.core.plyio import read_gaussian_ply
+    from scorp_tpu.core.plyio import load_gaussian_ply
 
     ply = os.path.join(model_dir, "point_cloud",
                        f"iteration_{iters}", "point_cloud.ply")
-    gfinal = read_gaussian_ply(ply)
+    gfinal = load_gaussian_ply(ply)
     n_final = len(gfinal.xyz)
     assert np.isfinite(gfinal.xyz).all(), "non-finite positions at end"
     print(json.dumps({"final_gaussians": n_final, "wall_s": round(wall)}))

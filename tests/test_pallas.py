@@ -161,8 +161,12 @@ class TestSaturation:
             xyz, opa, CAM, BG, shs=shs, sh_degree=0, scales=scales, quats=quats,
             cfg=SAT_CFG, interpret=True,
         )
-        np.testing.assert_allclose(out_p.color, out_x.color, atol=3e-6)
-        np.testing.assert_allclose(out_p.alpha, out_x.alpha, atol=3e-6)
+        # atol 2e-5, not 3e-6: the render path's telescoped Σ-weight alpha
+        # (pallas_fwd, bf16x3 accumulation) rounds ~1e-5 absolute at
+        # saturated pixels — far below the 5e-3 parity budget and the
+        # orders-of-magnitude inflation this test regression-guards
+        np.testing.assert_allclose(out_p.color, out_x.color, atol=2e-5)
+        np.testing.assert_allclose(out_p.alpha, out_x.alpha, atol=2e-5)
         np.testing.assert_allclose(out_p.depth_accum, out_x.depth_accum, atol=3e-5)
 
     def test_grads_match_xla_when_saturated(self):

@@ -101,11 +101,16 @@ def bench_roofline(scene, cfg, render_fps, train_ms):
         tc > 0, ((ts % chunk) + tc + chunk - 1) // chunk, 0)))
     n = xyz.shape[0]
 
-    # per-visit work constants (see docstring)
+    # per-visit work constants (see docstring). Round-4 telescoped-alpha +
+    # base-2 kernels: the RENDER forward body dropped the cross-lane
+    # min-reduce and three transcendental-lowering multiplies (~42 ops);
+    # the TRAIN forward keeps the exact min-reduce for the backward's
+    # T_term residual (~50); backward ~78.
     mxu_scan = 2 * 2.0 * p * chunk * chunk          # bf16x2 triangular scan
     mxu_acc = 3 * 2.0 * 4 * chunk * p               # bf16x3 [4,C] accumulation
-    vpu_fwd = p * chunk * 54.0
-    vpu_bwd = p * chunk * 80.0
+    vpu_fwd = p * chunk * 42.0
+    vpu_fwd_train = p * chunk * 50.0
+    vpu_bwd = p * chunk * 78.0
     stream_rd = 16.0 * chunk * 4
     VPU_PEAK, MXU_PEAK, HBM_PEAK = 6.1e12, 1.97e14, 8.19e11
 
@@ -138,7 +143,7 @@ def bench_roofline(scene, cfg, render_fps, train_ms):
         emit(
             "train_mfu_pct", t_t,
             mxu=visits * (2 * mxu_scan + 3 * mxu_acc),
-            vpu=visits * (vpu_fwd + vpu_bwd) + n * 600.0,
+            vpu=visits * (vpu_fwd_train + vpu_bwd) + n * 600.0,
             hbm=(visits * stream_rd * 2 + visits * 16 * chunk * 4
                  + cov * 64 * 3 + k * (40 * 2 + 24 + 8 * 2) + n * 2000.0),
         )

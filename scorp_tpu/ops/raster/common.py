@@ -107,7 +107,8 @@ class TileBins(NamedTuple):
 class StreamBins(NamedTuple):
     """Depth-ordered per-tile key stream for the Pallas compositor.
 
-    `data` rows: 0-1 xy, 2-4 conic (A,B,C), 5-7 color, 8 depth, 9 opacity,
+    `data` rows: 0-1 xy, 2-4 conic Cholesky factor, 5-7 color, 8 depth,
+    9 log2(opacity) (see log2_opacity),
     10-15 zero padding (depth sits NEXT TO color so the compositors
     accumulate color+depth with ONE [4,C] contraction; sublane tiling
     wants a multiple of 8 rows; Mosaic
@@ -766,6 +767,18 @@ def sorted_expansion(
     return sorted_tile, g_sorted, order, total, kept, extra_sorted
 
 
+def log2_opacity(opacity: jnp.ndarray) -> jnp.ndarray:
+    """Stream row 9: log2(opacity), so the compositors evaluate alpha as
+    one exp2(power + lopa) — the per-key opacity folds into the exponent's
+    add instead of a [P, C] multiply per chunk, and the backward's d_lopa
+    reuses the alpha_u * dalpha product it already forms. Clamped away from
+    log2(0): a sub-1e-30 opacity yields alpha ~ 2^-99, dead at the 1/255
+    threshold either way (and -inf would poison the expansion kernel's
+    one-hot matmul gather with inf * 0 = NaN). Differentiable — the VJP
+    chain d_lopa -> d_opacity happens here, outside the kernel."""
+    return jnp.log2(jnp.maximum(opacity, 1e-30))
+
+
 def conic_chol(conic: jnp.ndarray) -> jnp.ndarray:
     """[N, 3] scaled Cholesky factor (l11, l21, l22) of the conic
     [[A,B],[B,C]], in BASE-2 exponent units.
@@ -816,14 +829,14 @@ def bin_stream(
     # factor (conic_chol), not the conic. No id column: i32 bit patterns
     # bitcast into f32 do NOT survive TPU XLA (denormal flushing in copy
     # fusions zeroes them, fusion/scale-dependently). Row order matches
-    # StreamBins (depth at 8, opacity at 9).
+    # StreamBins (depth at 8, log2-opacity at 9).
     extra = jnp.concatenate(
         [
             prep.xy,
             conic_chol(prep.conic),
             prep.color,
             prep.depth[:, None],
-            prep.opacity[:, None],
+            log2_opacity(prep.opacity)[:, None],
         ],
         axis=1,
     )

@@ -42,6 +42,7 @@ from .common import (
     conic_chol,
     gather_rows_u16_t,
     grid_dims,
+    log2_opacity,
     preprocess,
     sorted_expansion,
 )
@@ -317,10 +318,13 @@ def rasterize_pallas(
     # carry the conic Cholesky factor; d(l..) chains back to d(conic)
     # through conic_chol's sqrt chain automatically.
     prep_sg = jax.lax.stop_gradient(prep)
+    # row 9 carries log2(opacity) so the kernels fold opacity into the
+    # exponent add (common.log2_opacity); autodiff chains the backward
+    # kernel's d_lopa back to d_opacity through the log2 here
     extra = jnp.concatenate(
         [
             prep.xy, conic_chol(prep.conic), prep.color,
-            prep.depth[:, None], prep.opacity[:, None],
+            prep.depth[:, None], log2_opacity(prep.opacity)[:, None],
         ],
         axis=1,
     )

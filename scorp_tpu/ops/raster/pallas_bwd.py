@@ -222,7 +222,7 @@ def _bwd_kernel(
             l11 = cur[2:3, :]
             l21 = cur[3:4, :]
             l22 = cur[4:5, :]
-            opa = cur[9:10, :]
+            lopa = cur[9:10, :]                      # log2(opacity)
 
             dx = gx - (tx_px + px_loc)               # [p, C]
             dy = gy - (ty_px + py_loc)
@@ -237,10 +237,10 @@ def _bwd_kernel(
             else:
                 power = -0.5 * (su * su + sv * sv)   # <= 0 by construction
             # rows 2-4 are in base-2 exponent units (common.conic_chol
-            # folds sqrt(log2 e) into the factor): exp2 is the hardware
-            # exponential without the per-element log2(e) multiply
-            big_g = jnp.exp2(power)
-            alpha_u = opa * big_g
+            # folds sqrt(log2 e) into the factor) and row 9 folds the
+            # opacity into the exponent: alpha_u = 2^(power + lopa) is the
+            # forward's expression bit-for-bit
+            alpha_u = jnp.exp2(power + lopa)
             alpha = jnp.minimum(ALPHA_MAX, alpha_u)
             kpos = ci * chunk + lane         # [1, C] position relative to base
             in_seg = (kpos >= head) & (kpos < head + count)
@@ -266,7 +266,9 @@ def _bwd_kernel(
             revsum_incl = _scan_mm(wu, tri)
             s_i = s_run + revsum_incl - wu                             # suffix j>i
 
-            one_minus = jnp.where(amask, 1.0 - alpha_eff, 1.0)
+            # no select: alpha_eff is already 0 outside amask, so
+            # 1 - alpha_eff is exactly 1 there
+            one_minus = 1.0 - alpha_eff
             dalpha = t_before * u - (s_i + gt_term) / one_minus
             emit = amask & include
             dalpha = jnp.where(emit, dalpha, 0.0)
@@ -285,10 +287,9 @@ def _bwd_kernel(
             # emulation on three [3,p]x[p,C] dots costs more than the five
             # cross-sublane reduce chains it replaces. Same failure mode as
             # the fwd kernel's masked-log/count MXU dots. Don't retry.
-            # base-2 chain: alpha_u = opa * 2^power, so d alpha_u/d power
-            # picks up ln2 — applied to the REDUCED [1,C] rows below (five
-            # cheap multiplies), never on [p,C]. d_opa needs no ln2
-            # (d alpha_u/d opa = big_g directly).
+            # base-2 chain: alpha_u = 2^(power + lopa), so d alpha_u wrt
+            # power and lopa both pick up ln2 — applied to the REDUCED
+            # [1,C] rows below (cheap multiplies), never on [p,C].
             ud = su * dpow
             vd = sv * dpow
             r_u = LN2 * jnp.sum(ud, axis=0, keepdims=True)             # [1, C]
@@ -298,7 +299,11 @@ def _bwd_kernel(
             d_l22 = -LN2 * jnp.sum(vd * dy, axis=0, keepdims=True)
             d_gx = -(l11 * r_u)
             d_gy = -(l21 * r_u + l22 * r_v)
-            d_opa = jnp.sum(big_g * dalpha, axis=0, keepdims=True)
+            # row 9 carries log2(opacity): d alpha_u/d lopa = ln2 alpha_u,
+            # so d_lopa = ln2 Σ dpow reuses the already-formed dpow (no
+            # big_g product or extra [p,C] multiply; the caller's autodiff
+            # chains d_lopa -> d_opacity through the log2 outside)
+            d_lopa = LN2 * jnp.sum(dpow, axis=0, keepdims=True)
 
             # one [16, chunk] gradient block per GLOBAL chunk block B; the
             # caller transposes each block to rows (a local (16,chunk)
@@ -310,7 +315,7 @@ def _bwd_kernel(
             # rows 5-8 = d_color, d_depth; row 9 = d_opa (matches the
             # stream/table layout so the scatter target columns line up)
             g16 = jnp.concatenate(
-                [d_gx, d_gy, d_l11, d_l21, d_l22, d_cd, d_opa,
+                [d_gx, d_gy, d_l11, d_l21, d_l22, d_cd, d_lopa,
                  jnp.zeros((6, chunk), jnp.float32)],
                 axis=0,
             )                                                  # [16, C]

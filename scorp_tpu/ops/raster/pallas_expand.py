@@ -360,6 +360,14 @@ def expand_sorted_keys(
     x0, y0, x1, y1 = rect[:, 0], rect[:, 1], rect[:, 2], rect[:, 3]
     span = x1 - x0
     counts = span * (y1 - y0)
+    # plain i32 cumsum. MEASURED DEAD END (round 4, don't retry): a
+    # two-level bf16x3 triangular-MXU prefix sum is provably exact for
+    # totals < 2^24 and passes bit-exact on CPU, but ON DEVICE it corrupts
+    # starts at mid scale (50k/800x600: fwd parity 0.578 vs 0.0028, ~741
+    # pixels off by >0.05) — some XLA:TPU lowering of the bf16 dots is not
+    # the single exact pass the precision flag promises. The XLA cumsum it
+    # replaced is also NOT the 0.9 ms convert_reduce fusion it was blamed
+    # for, so there is nothing to win here.
     starts = jnp.cumsum(counts) - counts
     total = starts[-1] + counts[-1]
 

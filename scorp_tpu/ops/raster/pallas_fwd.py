@@ -31,8 +31,10 @@ hierarchy instead of translated:
   * the CUDA early-termination rule is exact here because the running
     transmittance is monotone non-increasing: a Gaussian is included iff
     T*prod_{j<=i}(1-a_j) >= 1e-4 and no earlier key of the pixel already
-    crossed the threshold (sticky `stopped` carry), and the chunk loop
-    exits early once every pixel has saturated, mirroring the warp-wide
+    crossed the threshold — stickiness comes from ZEROING the running
+    carry at the crossing chunk (t_after stays 0 ever after, so the
+    prefix test needs no sticky flag), and the chunk loop exits early
+    once every pixel has saturated, mirroring the warp-wide
     `__syncthreads_count(done)` break;
   * outputs are [T, ch, P] blocks so the lane dimension stays 256-wide.
 """
@@ -295,7 +297,8 @@ def _fwd_tile_pipelined(
         u = cur[2:3, :] * dx + cur[3:4, :] * dy
         v = cur[4:5, :] * dy
         power = -0.5 * (u * u + v * v)
-        alpha = jnp.minimum(ALPHA_MAX, cur[9:10, :] * jnp.exp2(power))
+        # row 9 = log2(opacity) (see the serial body)
+        alpha = jnp.minimum(ALPHA_MAX, jnp.exp2(power + cur[9:10, :]))
         kpos = ci * chunk + lane  # position relative to `base`
         valid = (kpos >= head) & (kpos < head + count)
         return jnp.where(valid & (alpha >= ALPHA_MIN), alpha, 0.0)
@@ -489,7 +492,7 @@ def _fwd_kernel(
 
         def body(carry, g=g, start=start, head=head, count=count,
                  n_chunks=n_chunks, tx_px=tx_px, ty_px=ty_px):
-            ci, t_carry, stopped, acc_cd, n_con = carry
+            ci, t_run, t_term, acc_cd, n_con = carry
             slot = jnp.where(ci == 0, g, group + (ci - 1) % 3)
             _copy(start, ci, slot).wait()
 
@@ -518,8 +521,11 @@ def _fwd_kernel(
                 u = cur[2:3, :] * dx + cur[3:4, :] * dy
                 v = cur[4:5, :] * dy
                 power = -0.5 * (u * u + v * v)
-            opa = cur[9:10, :]
-            alpha = jnp.minimum(ALPHA_MAX, opa * jnp.exp2(power))
+            # row 9 is log2(opacity): alpha = 2^(power + lopa) folds the
+            # per-key opacity into the exponent's add (one [p,C] multiply
+            # saved per chunk; bit-identical recompute in the backward)
+            lopa = cur[9:10, :]
+            alpha = jnp.minimum(ALPHA_MAX, jnp.exp2(power + lopa))
             kpos = ci * chunk + lane  # position relative to `base`
             valid = (kpos >= head) & (kpos < head + count)
             alpha = jnp.where(valid & (alpha >= ALPHA_MIN), alpha, 0.0)
@@ -530,18 +536,21 @@ def _fwd_kernel(
             # exp cancel exactly, saving one [p,C] multiply inside EACH
             # transcendental's lowering (exp(x) lowers as exp2(x*log2e),
             # log(x) as log2(x)*ln2).
+            om = 1.0 - alpha
             if MXU_SCAN:
-                logx = jnp.log2(1.0 - alpha)                  # [p, C] <= 0
+                logx = jnp.log2(om)                           # [p, C] <= 0
                 cum_excl = jnp.exp2(_scan_mm(logx, ltri))
             else:
-                cum_excl = _cumprod_excl_lanes(1.0 - alpha, chunk)
-            t_before = t_carry * cum_excl
-            t_after = t_before * (1.0 - alpha)
-            # CUDA rule: the key that would drop T below 1e-4 is excluded and
-            # the pixel is done (sticky): within a chunk t_after is monotone,
-            # so the threshold test is a prefix; stickiness across chunks
-            # needs the flag. (f32 0/1 — Mosaic can't legalize i1 carries)
-            include = jnp.logical_and(stopped < 0.5, t_after >= T_EPS)
+                cum_excl = _cumprod_excl_lanes(om, chunk)
+            t_before = t_run * cum_excl
+            t_after = t_before * om
+            # CUDA rule: the key that would drop T below 1e-4 is excluded
+            # and the pixel is done. Within a chunk t_after is monotone
+            # nonincreasing, so the threshold test is a prefix; stickiness
+            # across chunks comes from ZEROING the running carry once the
+            # last lane crosses (t_after stays 0 ever after) — no separate
+            # sticky flag, no [p,C] AND per chunk.
+            include = t_after >= T_EPS
             weight = jnp.where(include, alpha * t_before, 0.0)
 
             if track_ncontrib:
@@ -569,12 +578,11 @@ def _fwd_kernel(
                     n_con,
                     jnp.max(jnp.where(contrib, pos1, 0), axis=1, keepdims=True),
                 )
-            last = t_after[:, chunk - 1 : chunk]
             if track_ncontrib:
-                # train path: post-chunk T is the smallest included t_after
-                # (the included set is a per-pixel prefix). The min-reduce is
-                # REQUIRED here: the backward kernel reconstructs every
-                # t_before multiplicatively from this terminated T, so the
+                # train path: t_term is the smallest included t_after (the
+                # included set is a per-pixel prefix) — the EXACT terminated
+                # transmittance the backward reconstructs t_before from
+                # multiplicatively. The min-reduce is REQUIRED here: the
                 # render path's cancellative 1 - Σweight form (absolute
                 # error ~1e-5 vs T_term as small as 1e-4) corrupts
                 # saturated-pixel gradients — measured: the grads-at-
@@ -585,33 +593,30 @@ def _fwd_kernel(
                 # lax.cond fast path skipping include/min-reduce/stopped
                 # measured 11.87 -> 16.30 ms — Mosaic branch overhead in
                 # the hot while body. Don't retry either.
-                t_carry = jnp.min(
-                    jnp.where(include, t_after, t_carry), axis=1, keepdims=True
+                t_term = jnp.min(
+                    jnp.where(include, t_after, t_term), axis=1, keepdims=True
                 )
-            else:
-                # render path: the carry is the chunk's FULL product (the
-                # last-lane t_after; masked lanes have alpha = 0 so they
-                # don't perturb it). Exact for every chunk that matters:
-                # once a pixel crosses T_EPS, `stopped` masks all later
-                # weights, so the continued-past-termination carry is never
-                # observable — and the OUTPUT transmittance comes from the
-                # telescoped Σ-weight accumulator row, not this carry.
-                # Removes the cross-lane min-reduce from the hot body.
-                t_carry = last
-            stopped = jnp.maximum(stopped, (last < T_EPS).astype(jnp.float32))
-            return ci + 1, t_carry, stopped, acc_cd, n_con
+            # running carry: the chunk's FULL product (last-lane t_after;
+            # masked lanes have alpha = 0 so they don't perturb it), ZEROED
+            # once it crosses T_EPS so every later chunk's t_after sits at 0
+            # and the include prefix test stays false — the sticky-stop rule
+            # with no flag. The OUTPUT transmittance is t_term (train) or
+            # the telescoped Σ-weight accumulator row (render), never this
+            # carry, so the zeroing is unobservable.
+            last = t_after[:, chunk - 1 : chunk]
+            t_run = jnp.where(last < T_EPS, 0.0, last)
+            return ci + 1, t_run, t_term, acc_cd, n_con
 
         def cond(carry, n_chunks=n_chunks):
-            ci, _, stopped, _, _ = carry
-            return (ci < n_chunks) & (jnp.min(stopped) < 0.5)
+            ci, t_run, *_ = carry
+            return (ci < n_chunks) & (jnp.max(t_run) >= T_EPS)
 
         t0 = jnp.ones((p, 1), jnp.float32)
-        stop0 = jnp.zeros((p, 1), jnp.float32)
         acc_rows = 4 if track_ncontrib else 5
         acc_cd0 = jnp.zeros((acc_rows, p), jnp.float32)
         n0 = jnp.zeros((p, 1), jnp.int32)
-        ci_final, t_final, _, acc_cd, n_inc = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), t0, stop0, acc_cd0, n0)
+        ci_final, _, t_final, acc_cd, n_inc = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), t0, t0, acc_cd0, n0)
         )
         acc_c, acc_d = acc_cd[:3], acc_cd[3:4]
 

@@ -17,7 +17,8 @@ Training keeps the autodiff XLA path (surfel.py); this kernel serves
 render_2dgs-style evaluation. Stream rows (24, sublane-aligned):
 0-8 adj(M) row-major (a1, a2, a3: s = adj @ (px, py, 1), see
 surfel.surfel_adj), 9-11 zrow, 12-13 center xy, 14-16 color, 17-19 view
-normal, 20 opacity, 21-23 pad. Color and normal sit ADJACENT so the
+normal, 20 log2(opacity) (common.log2_opacity), 21-23 pad. Color and
+normal sit ADJACENT so the
 compositors accumulate both with ONE [6,C] bf16x3 MXU contraction
 (pallas_fwd._acc_mm) instead of two 6-pass HIGHEST dots.
 """
@@ -37,6 +38,7 @@ from .common import (
     _tile_bounds,
     gather_rows_u16_t,
     grid_dims,
+    log2_opacity,
     sorted_expansion,
 )
 from .pallas_fwd import _acc_mm, _scan_mm, _strict_lower_tri, tiles_cp_to_image
@@ -84,7 +86,7 @@ def surfel_stream(prep: SurfelPrep, width: int, height: int, cfg: RasterConfig,
     # u16 gather (~3x the 32-bit row-gather throughput)
     extra = jnp.concatenate(
         [adj, prep.zrow, prep.xy, prep.color, prep.normal,
-         prep.opacity[:, None]],
+         log2_opacity(prep.opacity)[:, None]],
         axis=1,
     )
     sorted_tile, g_sorted, order, total, kept, table = sorted_expansion(
@@ -169,7 +171,7 @@ def _surfel_fwd_kernel(
 
         def body(carry, g=g, start=start, head=head, count=count,
                  n_chunks=n_chunks, pix_x=pix_x, pix_y=pix_y):
-            (ci, t_carry, stopped, acc_cn, acc_d, med, acc_dist,
+            (ci, t_carry, acc_cn, acc_d, med, acc_dist,
              a_run, d_run, d2_run) = carry
             slot = jnp.where(ci == 0, g, group + (ci - 1) % 3)
             _copy(start, ci, slot).wait()
@@ -186,7 +188,7 @@ def _surfel_fwd_kernel(
             a3x, a3y, a3z = cur[6:7, :], cur[7:8, :], cur[8:9, :]
             zu, zv, zc = cur[9:10, :], cur[10:11, :], cur[11:12, :]
             cx, cy = cur[12:13, :], cur[13:14, :]
-            opa = cur[20:21, :]
+            lopa = cur[20:21, :]                   # log2(opacity)
 
             sx = a1x * pix_x + a1y * pix_y + a1z       # [p, C]
             sy = a2x * pix_x + a2y * pix_y + a2z
@@ -202,9 +204,10 @@ def _surfel_fwd_kernel(
             rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
             use3d = rho3d <= rho2d
             rho = jnp.minimum(rho3d, rho2d)
-            # exp2 with -0.5*log2(e) folded into ONE constant multiply
-            # (pallas_surfel_train._surfel_geometry has the derivation)
-            alpha = jnp.minimum(ALPHA_MAX, opa * jnp.exp2(NC2 * rho))
+            # ONE exp2: -0.5*log2(e) folded into a constant multiply and
+            # the opacity folded into the exponent add (row 20 = log2 opa;
+            # pallas_surfel_train._surfel_geometry has the derivation)
+            alpha = jnp.minimum(ALPHA_MAX, jnp.exp2(NC2 * rho + lopa))
             z = jnp.where(use3d, u * zu + v * zv + zc, zc)
             kpos = ci * chunk + lane
             valid = (kpos >= head) & (kpos < head + count)
@@ -214,12 +217,14 @@ def _surfel_fwd_kernel(
             # contraction replaces the log2(C)-step Hillis-Steele (pallas_fwd)
             # base-2 scan: the ln2/log2e factors cancel between log and
             # exp, saving one [p,C] multiply per lowering (pallas_fwd)
-            cum_excl = jnp.exp2(_scan_mm(jnp.log2(1.0 - alpha), ltri))
+            om = 1.0 - alpha
+            cum_excl = jnp.exp2(_scan_mm(jnp.log2(om), ltri))
             t_before = t_carry * cum_excl
-            t_after = t_before * (1.0 - alpha)
-            # reference sticky-done rule across chunks (see pallas_fwd.py);
-            # f32 0/1 carry — Mosaic can't legalize i1 while-loop carries
-            include = jnp.logical_and(stopped < 0.5, t_after >= T_EPS)
+            t_after = t_before * om
+            # sticky-stop via the ZEROED running carry (see pallas_fwd):
+            # once the last lane crosses T_EPS the carry is 0 and the
+            # prefix test excludes everything — no flag, no [p,C] AND
+            include = t_after >= T_EPS
             w = jnp.where(include, alpha * t_before, 0.0)
 
             # color+normal accumulate in ONE [6, C] x [C, p] bf16x3
@@ -258,30 +263,27 @@ def _surfel_fwd_kernel(
             d2_run = d2_run + s2
 
             # Next-chunk carry = the chunk's full product (last-lane
-            # t_after): once a pixel crosses T_EPS, `stopped` masks every
-            # later weight, so the continued-past-termination carry is never
-            # observable — and the OUTPUT transmittance is free from the
-            # distortion bookkeeping (a_run = Σ w telescopes to
-            # 1 - T_terminated over the included prefix). Removes the
-            # cross-lane min-reduce from the hot body (see pallas_fwd.py).
+            # t_after), ZEROED once it crosses T_EPS so every later chunk
+            # excludes itself through the prefix test. The OUTPUT
+            # transmittance is free from the distortion bookkeeping
+            # (a_run = Σ w telescopes to 1 - T_terminated over the included
+            # prefix), never this carry. No min-reduce, no sticky flag.
             last = t_after[:, chunk - 1 : chunk]
-            t_carry = last
-            stopped = jnp.maximum(stopped, (last < T_EPS).astype(jnp.float32))
-            return (ci + 1, t_carry, stopped, acc_cn, acc_d, med, acc_dist,
+            t_carry = jnp.where(last < T_EPS, 0.0, last)
+            return (ci + 1, t_carry, acc_cn, acc_d, med, acc_dist,
                     a_run, d_run, d2_run)
 
         def cond_fn(carry, n_chunks=n_chunks):
-            ci, stopped = carry[0], carry[2]
-            return (ci < n_chunks) & (jnp.min(stopped) < 0.5)
+            ci, t_carry = carry[0], carry[1]
+            return (ci < n_chunks) & (jnp.max(t_carry) >= T_EPS)
 
         zeros1 = jnp.zeros((p, 1), jnp.float32)
         init = (
             jnp.int32(0), jnp.ones((p, 1), jnp.float32),
-            jnp.zeros((p, 1), jnp.float32),
             jnp.zeros((6, p), jnp.float32), zeros1,
             zeros1, zeros1, zeros1, zeros1, zeros1,
         )
-        (ci_final, _, _, acc_cn, acc_d, med, acc_dist, a_run, *_) = (
+        (ci_final, _, acc_cn, acc_d, med, acc_dist, a_run, *_) = (
             jax.lax.while_loop(cond_fn, body, init)
         )
         acc_c, acc_n = acc_cn[:3], acc_cn[3:]

@@ -42,10 +42,11 @@ from .common import (
     TILE,
     gather_rows_u16_t,
     grid_dims,
+    log2_opacity,
 )
 from .pallas import _compact_routing, _f32, _i32, compact_block_scatter
 from .pallas_fwd import _acc_mm, _scan_mm, _strict_lower_tri, tiles_cp_to_image
-from .pallas_bwd import _rev_cumsum_mxu, _suffix_tri
+from .pallas_bwd import LN2, _rev_cumsum_mxu, _suffix_tri
 from .pallas_surfel import SURFEL_ROWS
 from .surfel import (
     ALPHA_MAX,
@@ -78,7 +79,7 @@ def _surfel_geometry(cur, pix_x, pix_y):
     a3x, a3y, a3z = cur[6:7, :], cur[7:8, :], cur[8:9, :]
     zu, zv, zc = cur[9:10, :], cur[10:11, :], cur[11:12, :]
     cx, cy = cur[12:13, :], cur[13:14, :]
-    opa = cur[20:21, :]
+    lopa = cur[20:21, :]                      # log2(opacity)
 
     sx = a1x * pix_x + a1y * pix_y + a1z      # [p, C]
     sy = a2x * pix_x + a2y * pix_y + a2z
@@ -96,18 +97,20 @@ def _surfel_geometry(cur, pix_x, pix_y):
     rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
     use3d = rho3d <= rho2d
     rho = jnp.minimum(rho3d, rho2d)
-    # exp2 with the -0.5*log2(e) folded into ONE constant multiply (exp's
-    # lowering would spend a second [p,C] multiply on log2e). The rho
-    # gradient chain is UNCHANGED: d big_g/d rho = NC*ln2*big_g = -0.5*big_g.
-    big_g = jnp.exp2(NC * rho)
-    alpha_u = opa * big_g
+    # ONE exp2 with the -0.5*log2(e) folded into a constant multiply and
+    # the opacity folded into the exponent's add (row 20 carries
+    # log2(opacity), see common.log2_opacity): alpha_u = opa exp(-rho/2)
+    # bit-for-bit between fwd and bwd. The rho gradient chain is
+    # UNCHANGED: d alpha_u/d rho = NC*ln2*alpha_u = -0.5*alpha_u, and
+    # d alpha_u/d lopa = ln2*alpha_u (the bwd reuses its drho product).
+    alpha_u = jnp.exp2(NC * rho + lopa)
     alpha = jnp.minimum(ALPHA_MAX, alpha_u)
     z = jnp.where(use3d, u * zu + v * zv + zc, zc)
     return dict(
         s=(sx, sy, s_z), sz=sz,
         rz=rz, u_raw=u_raw, v_raw=v_raw, u=u, v=v, use3d=use3d,
-        dx=dx, dy=dy, big_g=big_g, alpha_u=alpha_u, alpha=alpha, z=z,
-        zu=zu, zv=zv, opa=opa,
+        dx=dx, dy=dy, alpha_u=alpha_u, alpha=alpha, z=z,
+        zu=zu, zv=zv,
     )
 
 
@@ -179,7 +182,7 @@ def _surfel_train_fwd_kernel(
 
         def body(carry, g=g, start=start, head=head, count=count,
                  n_chunks=n_chunks, pix_x=pix_x, pix_y=pix_y):
-            (ci, t_carry, stopped, acc_cn, acc_d, med, acc_dist,
+            (ci, t_run, t_term, acc_cn, acc_d, med, acc_dist,
              a_run, d_run, d2_run, n_con, n_med) = carry
             slot = jnp.where(ci == 0, g, group + (ci - 1) % 3)
             _copy(start, ci, slot).wait()
@@ -201,10 +204,14 @@ def _surfel_train_fwd_kernel(
             # contraction replaces the log2(C)-step Hillis-Steele (see pallas_fwd)
             # base-2 scan: the ln2/log2e factors cancel between log and
             # exp, saving one [p,C] multiply per lowering (pallas_fwd)
-            cum_excl = jnp.exp2(_scan_mm(jnp.log2(1.0 - alpha), ltri))
-            t_before = t_carry * cum_excl
-            t_after = t_before * (1.0 - alpha)
-            include = jnp.logical_and(stopped < 0.5, t_after >= T_EPS)
+            om = 1.0 - alpha
+            cum_excl = jnp.exp2(_scan_mm(jnp.log2(om), ltri))
+            t_before = t_run * cum_excl
+            t_after = t_before * om
+            # sticky-stop via the ZEROED running carry (see pallas_fwd):
+            # once the last lane crosses T_EPS the carry is 0, t_after
+            # stays 0 and the prefix test excludes everything — no flag
+            include = t_after >= T_EPS
             w = jnp.where(include, alpha * t_before, 0.0)
 
             # color+normal accumulate in ONE [6, C] x [C, p] bf16x3
@@ -244,26 +251,28 @@ def _surfel_train_fwd_kernel(
             d_run = d_run + s1
             d2_run = d2_run + s2
 
-            t_carry = jnp.min(jnp.where(include, t_after, t_carry), axis=1, keepdims=True)
-            stopped = jnp.maximum(
-                stopped, (t_after[:, chunk - 1 : chunk] < T_EPS).astype(jnp.float32)
-            )
-            return (ci + 1, t_carry, stopped, acc_cn, acc_d, med, acc_dist,
+            # t_term = smallest included t_after: the EXACT terminated
+            # transmittance the backward reconstructs from (see pallas_fwd)
+            t_term = jnp.min(jnp.where(include, t_after, t_term), axis=1, keepdims=True)
+            last = t_after[:, chunk - 1 : chunk]
+            t_run = jnp.where(last < T_EPS, 0.0, last)
+            return (ci + 1, t_run, t_term, acc_cn, acc_d, med, acc_dist,
                     a_run, d_run, d2_run, n_con, n_med)
 
         def cond_fn(carry, n_chunks=n_chunks):
-            ci, stopped = carry[0], carry[2]
-            return (ci < n_chunks) & (jnp.min(stopped) < 0.5)
+            ci, t_run = carry[0], carry[1]
+            return (ci < n_chunks) & (jnp.max(t_run) >= T_EPS)
 
+        ones1 = jnp.ones((p, 1), jnp.float32)
         zeros1 = jnp.zeros((p, 1), jnp.float32)
         zi = jnp.zeros((p, 1), jnp.int32)
         init = (
-            jnp.int32(0), jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32),
+            jnp.int32(0), ones1, ones1,
             jnp.zeros((6, p), jnp.float32), zeros1,
             zeros1, zeros1, zeros1, zeros1, zeros1,
             zi, zi,
         )
-        (ci_final, t_final, _, acc_cn, acc_d, med, acc_dist,
+        (ci_final, _, t_final, acc_cn, acc_d, med, acc_dist,
          _, d_run, d2_run, n_con, n_med) = jax.lax.while_loop(cond_fn, body, init)
         acc_c, acc_n = acc_cn[:3], acc_cn[3:]
 
@@ -398,9 +407,9 @@ def _surfel_bwd_kernel(
             cur = chunk_vmem.at[in_slot]
             geo = _surfel_geometry(cur, pix_x, pix_y)
             alpha, z = geo["alpha"], geo["z"]
-            alpha_u, big_g = geo["alpha_u"], geo["big_g"]
+            alpha_u = geo["alpha_u"]
             u, v, use3d = geo["u"], geo["v"], geo["use3d"]
-            zu, zv, opa = geo["zu"], geo["zv"], geo["opa"]
+            zu, zv = geo["zu"], geo["zv"]
             dx, dy = geo["dx"], geo["dy"]
             sx, sy, s_z = geo["s"]
             sz = geo["sz"]
@@ -439,7 +448,8 @@ def _surfel_bwd_kernel(
             revsum_incl = _rev_cumsum_mxu(wu, tri)
             s_i = s_run + revsum_incl - wu
 
-            one_minus = jnp.where(amask, 1.0 - alpha_eff, 1.0)
+            # no select: alpha_eff is already 0 outside amask
+            one_minus = 1.0 - alpha_eff
             dalpha = t_before * uu - (s_i + gt_term) / one_minus
             emit = amask & include
             dalpha = jnp.where(emit, dalpha, 0.0)
@@ -450,9 +460,11 @@ def _surfel_bwd_kernel(
             ismed = ((kpos - head) + 1) == n_med_col
             dz = w * g_d_col + dm * dmdz + jnp.where(ismed, g_med, 0.0)
 
-            # alpha = min(0.99, opa*G), G = exp(-rho/2); CUDA propagates through
-            # opa*G unconditionally
-            d_opa_px = big_g * dalpha                           # [p, C]
+            # alpha = min(0.99, alpha_u), alpha_u = 2^(NC rho + lopa); CUDA
+            # propagates through opa*G unconditionally. d_lopa reuses drho:
+            # d alpha_u/d lopa = ln2 alpha_u, so
+            # d_lopa = ln2 Σ alpha_u dalpha = -2 ln2 Σ drho — no big_g
+            # product or extra [p,C] multiply
             drho = -0.5 * alpha_u * dalpha
             # rho = min(rho3d, rho2d); z = use3d ? u zu + v zv + zc : zc
             du = jnp.where(use3d, 2.0 * u * drho + zu * dz, 0.0)
@@ -483,8 +495,9 @@ def _surfel_bwd_kernel(
                 return jnp.sum(x, axis=0, keepdims=True)        # [1, C]
 
             # d_color+d_normal in one [6, C] contraction; rows 14-19 =
-            # d_color, d_normal, row 20 = d_opa (matches the stream/table
-            # layout so the scatter target columns line up)
+            # d_color, d_normal, row 20 = d_lopa (matches the stream/table
+            # layout so the scatter target columns line up; the caller's
+            # autodiff chains d_lopa -> d_opacity through log2_opacity)
             d_cn = _acc_mm(g_cn, w, ((1,), (0,)))               # [6, C]
             g24 = jnp.concatenate(
                 [
@@ -493,7 +506,7 @@ def _surfel_bwd_kernel(
                     pxsum(dsz * pix_x), pxsum(dsz * pix_y), pxsum(dsz),
                     pxsum(d_zu_px), pxsum(d_zv_px), pxsum(d_zc_px),
                     pxsum(d_cx_px), pxsum(d_cy_px),
-                    d_cn, pxsum(d_opa_px),
+                    d_cn, (-2.0 * LN2) * pxsum(drho),
                     jnp.zeros((3, chunk), jnp.float32),
                 ],
                 axis=0,
@@ -816,10 +829,12 @@ def rasterize_surfel_pallas(
     # this differentiable gather (permuted inside the expansion's single
     # N-row gather). No id column: i32 bit patterns bitcast into f32 do
     # not survive TPU XLA's denormal flushing.
+    # row 20 carries log2(opacity) (common.log2_opacity): the kernels fold
+    # opacity into the exponent add and autodiff chains d_lopa -> d_opacity
     extra = jnp.concatenate(
         [
             surfel_adj(prep.M), prep.zrow, prep.xy,
-            prep.color, prep.normal, prep.opacity[:, None],
+            prep.color, prep.normal, log2_opacity(prep.opacity)[:, None],
         ],
         axis=1,
     )

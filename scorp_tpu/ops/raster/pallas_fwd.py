@@ -55,9 +55,10 @@ T_EPS = 1e-4
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.99
 GROUP = 16  # tiles per program (16 beats 8 on the 3DGS path: train 68.9
-# -> 67.6 ms, render +0.3 FPS; the surfel kernels measured the OPPOSITE —
-# GROUP2D stays 8, train2d 132.7 -> 136.1 at 16, likely the 24-row x 19-slot
-# VMEM footprint)
+# -> 67.6 ms, render +0.3 FPS; 32 measured a WASH on the round-4 body —
+# composite 7.88 -> 7.90 ms, don't retry; the surfel kernels measured the
+# OPPOSITE — GROUP2D stays 8, train2d 132.7 -> 136.1 at 16, likely the
+# 24-row x 19-slot VMEM footprint)
 MXU_SCAN = True   # log-space transmittance via triangular MXU contraction
 # quadratic-basis exponent on the MXU: measured a net LOSS on v5e in BOTH
 # forms — HIGHEST (6 f32-emulation passes) and bf16x3 (3 single passes,

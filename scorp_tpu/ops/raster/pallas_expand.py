@@ -356,8 +356,12 @@ def expand_sorted_keys(
     if extra is None:
         extra_sorted = None
 
-    rect = aux_sorted[:, :4].astype(jnp.int32)
-    x0, y0, x1, y1 = rect[:, 0], rect[:, 1], rect[:, 2], rect[:, 3]
+    # transpose FIRST, then slice rows: column extractions of the
+    # (8,128)-tiled [N,4] into 1-D T(1024) outputs scalarize inside XLA's
+    # kLoop fusion (measured 0.9 ms at 250k on v5e); [4, N] rows are
+    # layout-compatible with the 1-D consumers
+    rect_t = aux_sorted[:, :4].astype(jnp.int32).T            # [4, N]
+    x0, y0, x1, y1 = rect_t[0], rect_t[1], rect_t[2], rect_t[3]
     span = x1 - x0
     counts = span * (y1 - y0)
     # plain i32 cumsum. MEASURED DEAD END (round 4, don't retry): a

@@ -376,17 +376,21 @@ def expand_sorted_keys(
     total = starts[-1] + counts[-1]
 
     def _geo_rows(i):
+        # transposed to [6, N] before the row slicing, matching the rect
+        # handling above (measured NEUTRAL here at 250k — the rect columns
+        # were the scalarizing ones — kept so no columnar read of a tiled
+        # [N, k] feeds 1-D consumers in this function)
         g = jax.lax.bitcast_convert_type(
             aux_sorted[:, 4 + 12 * i : 16 + 12 * i].reshape(n, 6, 2),
             jnp.float32,
-        )
-        gx_rel = g[:, 0] - x0.astype(jnp.float32) * TILE
-        gy_rel = g[:, 1] - y0.astype(jnp.float32) * TILE
+        ).T                                                   # [6, N]
+        gx_rel = g[0] - x0.astype(jnp.float32) * TILE
+        gy_rel = g[1] - y0.astype(jnp.float32) * TILE
         # clamp the threshold FINITE: inf would split to NaN residuals in
         # the kernel's bf16x3 one-hot gather (inf - inf), and NaN times a
         # zero selector still poisons the whole contraction
-        t2 = jnp.minimum(g[:, 5], 1e30)
-        return [gx_rel, gy_rel, g[:, 2], g[:, 3], g[:, 4], t2]
+        t2 = jnp.minimum(g[5], 1e30)
+        return [gx_rel, gy_rel, g[2], g[3], g[4], t2]
 
     if cull:
         cull_cols = _geo_rows(0)

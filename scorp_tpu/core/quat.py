@@ -15,9 +15,18 @@ import jax.numpy as jnp
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
-    """[..., 4] (w,x,y,z) quaternion -> [..., 3, 3] rotation matrix."""
-    norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
-    q = q / jnp.maximum(norm, 1e-12)
+    """[..., 4] (w,x,y,z) quaternion -> [..., 3, 3] rotation matrix.
+
+    The norm clamp sits INSIDE the sqrt: sqrt's VJP at exactly 0 is inf, so
+    an all-zero quaternion (a dead padded row in GaussianState) would turn a
+    zero cotangent into NaN (0 * inf) and poison the row's Adam moments —
+    the round-4 densify-at-scale NaN. With the clamp inside, max() routes
+    the cotangent to the constant branch and the gradient is exactly 0.
+    A zero quat maps to the identity rotation. Real quats (norm ~ 1) are
+    bit-unaffected.
+    """
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(q * q, axis=-1, keepdims=True), 1e-24))
+    q = q / norm
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     r00 = 1.0 - 2.0 * (y * y + z * z)
     r01 = 2.0 * (x * y - w * z)

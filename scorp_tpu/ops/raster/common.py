@@ -303,8 +303,10 @@ def compute_cov3d(scales: jnp.ndarray, quats: jnp.ndarray, modifier) -> jnp.ndar
     the 128-wide MXU and run ~10x slower than one fused VPU pass.
     """
     q = quats
-    norm = jnp.sqrt(jnp.sum(q * q, axis=-1))
-    qn = q / jnp.maximum(norm, 1e-12)[:, None]
+    # clamp INSIDE the sqrt: sqrt's VJP at 0 is inf, so a dead row's all-zero
+    # quat would turn its zero cotangent into NaN (see core.quat.quat_to_rotmat)
+    norm = jnp.sqrt(jnp.maximum(jnp.sum(q * q, axis=-1), 1e-24))
+    qn = q / norm[:, None]
     w, x, y, z = qn[:, 0], qn[:, 1], qn[:, 2], qn[:, 3]
     r00 = 1.0 - 2.0 * (y * y + z * z)
     r01 = 2.0 * (x * y - w * z)

@@ -68,6 +68,13 @@ def refine_step(
         return loss, ll1
 
     (loss, ll1), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    # SELECT dead-row gradients to exact zero (NaN cotangents through
+    # guarded divisions on padded rows — see step.py)
+    cap = state.capacity
+    grads = {
+        k: jnp.where(alive.reshape((cap,) + (1,) * (v.ndim - 1)), v, 0.0)
+        for k, v in grads.items()
+    }
     lrs = compute_lrs(opt, iteration)
     new_params, new_adam = adam_update(state.params, grads, adam, lrs, frozen=frozen)
     do_step = iteration < opt.iterations

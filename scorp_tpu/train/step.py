@@ -204,9 +204,15 @@ def train_step(
     # 2DGS tuning mask: freeze the first K rows by zeroing their gradients
     # (gs2dgs/scene/gaussian_model.py:498-508)
     row = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
-    unfrozen = (row >= freeze_rows).astype(jnp.float32)
+    unfrozen = row >= freeze_rows
+    # jnp.where SELECT (never multiply): dead rows can carry NaN cotangents
+    # (0-cotangent x inf local derivative through guarded divisions), and
+    # NaN * 0 is still NaN. Dead rows mathematically have zero gradient, so
+    # selecting 0 is exact — and keeps Adam/params of dead slots finite
+    # forever (the round-4 densify-at-scale NaN entered through here).
+    keep_row = jnp.logical_and(alive, unfrozen)
     param_grads = {
-        k: v * unfrozen.reshape((cap,) + (1,) * (v.ndim - 1))
+        k: jnp.where(keep_row.reshape((cap,) + (1,) * (v.ndim - 1)), v, 0.0)
         for k, v in param_grads.items()
     }
     lrs = compute_lrs(opt, iteration)

@@ -152,9 +152,12 @@ def train_step_2d(
     # 2DGS tuning mask: freeze the first K rows by zeroing their gradients
     # (gs2dgs/scene/gaussian_model.py:498-508)
     row = jax.lax.broadcasted_iota(jnp.int32, (cap,), 0)
-    unfrozen = (row >= freeze_rows).astype(jnp.float32)
+    unfrozen = row >= freeze_rows
+    # SELECT, never multiply: dead rows can carry NaN cotangents (see
+    # step.py) and NaN * 0 is still NaN — zero them exactly via where
+    keep_row = jnp.logical_and(alive, unfrozen)
     param_grads = {
-        k: v * unfrozen.reshape((cap,) + (1,) * (v.ndim - 1))
+        k: jnp.where(keep_row.reshape((cap,) + (1,) * (v.ndim - 1)), v, 0.0)
         for k, v in param_grads.items()
     }
     lrs = compute_lrs(opt, iteration)

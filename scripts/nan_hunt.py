@@ -25,9 +25,12 @@ import jax
 import jax.numpy as jnp
 
 
-def snapshot_state(state, adam, rng_key, cfg):
-    # device refs only: no host transfer at snapshot time
-    return (state, adam, rng_key, cfg)
+def copy_adam(adam):
+    """Deep-copy the Adam pytree. train_step is jitted with
+    donate_argnums=(1,) (scorp_tpu/train/step.py): the NEXT step donates the
+    adam buffers we pass in, so any snapshot/prev ref holding the bare arrays
+    would raise 'Array has been deleted' exactly when the replay needs it."""
+    return jax.tree_util.tree_map(jnp.copy, adam)
 
 
 def params_finite_report(state, adam=None):
@@ -177,7 +180,9 @@ def main():
                     state, adam = grow_capacity(
                         state, adam, round_capacity(int(state.capacity * 2.0)))
                     grew = True
-            if iteration % op.opacity_reset_interval == 0:
+            if iteration % op.opacity_reset_interval == 0 or (
+                dataset.white_background and iteration == op.densify_from_iter
+            ):
                 state, adam = reset_opacity(state, adam)
         return state, adam, rng_key, grew
 
@@ -188,7 +193,7 @@ def main():
         for it in range(it0 + 1, upto + 1):
             cam, gt_img, bg = step_log[it]
             sh = min(it // 1000, dataset.sh_degree)
-            prev_state, prev_adam = state, adam
+            prev_state, prev_adam = state, copy_adam(adam)
             state, adam, metrics = run_step(state, adam, cam, gt_img, bg, it, sh, cfg)
             loss = float(metrics.loss)
             bad = params_finite_report(state, adam)
@@ -212,7 +217,7 @@ def main():
         return False
 
     t0 = time.time()
-    snaps.append((0, state, adam, rng_key, cfg))
+    snaps.append((0, state, copy_adam(adam), rng_key, cfg))
     for iteration in range(1, iters + 1):
         if iteration % 1000 == 0 and active_sh < dataset.sh_degree:
             active_sh += 1
@@ -249,7 +254,7 @@ def main():
             print(f"[iter {iteration}] raster keys -> {cfg.max_keys}")
 
         if iteration % SNAP == 0:
-            snaps.append((iteration, state, adam, rng_key, cfg))
+            snaps.append((iteration, state, copy_adam(adam), rng_key, cfg))
             if len(snaps) > 2:
                 snaps.pop(0)
         if iteration % 500 == 0:

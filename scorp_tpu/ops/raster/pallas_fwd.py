@@ -79,6 +79,17 @@ PREFETCH0 = True  # issue chunk-0 DMAs of all group tiles up front
 # overlaps MXU/VPU through the hardware queues; don't hand-pipeline this
 # loop again. Kept as an off-by-default experiment flag.
 PIPELINE = False
+# PAIR-INTERLEAVED serial loop: two tiles' chunk bodies share one while
+# loop so their independent dependency chains overlap (the body is
+# LATENCY-bound, not throughput-bound: see _chunk_math's caller). Applies
+# to the serial path only (PIPELINE off).
+PAIR_TILES = True
+# diagnosis-only toggles (scripts/profile_fusions.py): skip parts of the
+# track_ncontrib bookkeeping to attribute the train-vs-render fwd gap.
+# NEVER set in production — they break backward semantics.
+import os as _os
+_DIAG_SKIP_NCON = _os.environ.get("DIAG_SKIP_NCON", "") == "1"
+_DIAG_SKIP_TTERM = _os.environ.get("DIAG_SKIP_TTERM", "") == "1"
 
 
 def _masked_cumprod_lanes(x: jnp.ndarray, chunk: int) -> jnp.ndarray:
@@ -453,6 +464,280 @@ def _fwd_kernel(
 
     pipelined = PIPELINE and MXU_SCAN and not MXU_POWER
 
+    def _chunk_math(cur, ci, head, count, tx_px, ty_px,
+                    t_run, t_term, acc_cd, n_con):
+        """One [p, C] chunk body: alpha -> scan -> blend -> carries.
+
+        Pure math shared by the single-tile and PAIR-interleaved loops;
+        safe on masked/stale chunks (kpos outside [head, head+count) zeroes
+        alpha, making every update a no-op). See the inline comments for
+        the numerics."""
+        if MXU_POWER:
+            coefs = _power_coefs(cur, tx_px, ty_px, chunk)
+            power = _power_mm(basis, coefs)              # [p, C] MXU
+        else:
+            # rows 2-4 hold the scaled conic CHOLESKY factor
+            # (common.conic_chol, base-2 exponent units): power =
+            # -0.5 (u^2 + v^2) is the LOG2 exponent, u = l11 dx +
+            # l21 dy, v = l22 dy — 8 VPU ops, power <= 0 by
+            # construction (the PSD validity test the conic form
+            # needed disappears), and exp2 is the hardware exponential
+            # without the log2(e) multiply jnp.exp's lowering adds
+            pix_row = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+            pix_x = tx_px + (pix_row % TILE).astype(jnp.float32)
+            pix_y = ty_px + (pix_row // TILE).astype(jnp.float32)
+            dx = cur[0:1, :] - pix_x
+            dy = cur[1:2, :] - pix_y
+            u = cur[2:3, :] * dx + cur[3:4, :] * dy
+            v = cur[4:5, :] * dy
+            power = -0.5 * (u * u + v * v)
+        # row 9 is log2(opacity): alpha = 2^(power + lopa) folds the
+        # per-key opacity into the exponent's add (one [p,C] multiply
+        # saved per chunk; bit-identical recompute in the backward)
+        lopa = cur[9:10, :]
+        alpha = jnp.minimum(ALPHA_MAX, jnp.exp2(power + lopa))
+        kpos = ci * chunk + lane  # position relative to `base`
+        valid = (kpos >= head) & (kpos < head + count)
+        alpha = jnp.where(valid & (alpha >= ALPHA_MIN), alpha, 0.0)
+
+        # exclusive running (1-alpha) product along the chunk, in log2
+        # space: one triangular MXU contraction instead of a lane scan.
+        # Base 2 throughout — the ln2/log2(e) factors between log and
+        # exp cancel exactly, saving one [p,C] multiply inside EACH
+        # transcendental's lowering (exp(x) lowers as exp2(x*log2e),
+        # log(x) as log2(x)*ln2).
+        om = 1.0 - alpha
+        logx = jnp.log2(om)                               # [p, C] <= 0
+        if MXU_SCAN:
+            s_excl = _scan_mm(logx, ltri)
+            cum_excl = jnp.exp2(s_excl)
+        else:
+            s_excl = None
+            cum_excl = _cumprod_excl_lanes(om, chunk)
+        t_before = t_run * cum_excl
+        t_after = t_before * om
+        # CUDA rule: the key that would drop T below 1e-4 is excluded
+        # and the pixel is done. Within a chunk t_after is monotone
+        # nonincreasing, so the threshold test is a prefix; stickiness
+        # across chunks comes from ZEROING the running carry once the
+        # last lane crosses (t_after stays 0 ever after) — no separate
+        # sticky flag, no [p,C] AND per chunk.
+        include = t_after >= T_EPS
+        weight = jnp.where(include, alpha * t_before, 0.0)
+
+        if track_ncontrib:
+            # train path: color+depth accumulate in ONE [4, C] x [C, p]
+            # contraction (rows 5-8 adjacent by stream layout)
+            acc_cd = acc_cd + _acc_mm(cur[5:9, :], weight, ((1,), (1,)))
+        else:
+            # render path: a constant ones row rides the contraction so
+            # accumulator row 4 collects Σ weight, which telescopes
+            # EXACTLY to 1 - T_terminated over the included prefix:
+            # Σ a_i ∏_{j<i}(1-a_j) = 1 - ∏(1-a_i). The terminated
+            # transmittance is a free byproduct of the matmul — see the
+            # t_carry note below.
+            acc_cd = acc_cd + _acc_mm(
+                jnp.concatenate([cur[5:9, :], ones_row], axis=0),
+                weight, ((1,), (1,)),
+            )
+        if track_ncontrib and not _DIAG_SKIP_NCON:
+            # n_contrib = 1-based stream position (from the segment
+            # start) of the last included key with alpha > 0 — the
+            # reference last_contributor, a prefix length for backward.
+            # f32 max-reduce + f32 carry (i32 cast once per tile).
+            contrib = jnp.logical_and(include, alpha > 0.0)
+            pos1 = ((kpos - head) + 1).astype(jnp.float32)  # [1, C]
+            n_con = jnp.maximum(
+                n_con,
+                jnp.max(jnp.where(contrib, pos1, 0.0), axis=1,
+                        keepdims=True),
+            )
+        if track_ncontrib and _os.environ.get("DIAG_TTERM_SLICE", "") == "1":
+            # cost probe ONLY (wrong at crossing chunks): full-chunk log sum
+            # from two slices of already-computed values, no lane reduce
+            t_term = t_term + (
+                s_excl[:, chunk - 1 : chunk] + logx[:, chunk - 1 : chunk]
+            )
+        elif track_ncontrib and not _DIAG_SKIP_TTERM:
+            # train path: t_term = the smallest included t_after (the
+            # included set is a per-pixel prefix) — the terminated
+            # transmittance the backward reconstructs t_before from
+            # multiplicatively. Accumulated as the LOG-SUM of included
+            # om (one masked lane SUM per chunk, exp2 once per tile):
+            # exact to ~1e-6 RELATIVE — crucially NOT the render path's
+            # cancellative 1 - Σweight form, whose ~1e-5 ABSOLUTE error
+            # vs T_term as small as 1e-4 corrupts saturated-pixel
+            # gradients (measured: grads-at-saturation parity fails at
+            # rtol 1e-3).
+            t_term = t_term + jnp.sum(
+                jnp.where(include, logx, 0.0), axis=1, keepdims=True
+            )
+        # running carry: the chunk's FULL product (last-lane t_after;
+        # masked lanes have alpha = 0 so they don't perturb it), ZEROED
+        # once it crosses T_EPS so every later chunk's t_after sits at 0
+        # and the include prefix test stays false — the sticky-stop rule
+        # with no flag. The OUTPUT transmittance is t_term (train) or
+        # the telescoped Σ-weight accumulator row (render), never this
+        # carry, so the zeroing is unobservable.
+        last = t_after[:, chunk - 1 : chunk]
+        t_run = jnp.where(last < T_EPS, 0.0, last)
+        return t_run, t_term, acc_cd, n_con
+
+    def _tile_outputs(g, t_term_c, acc_cd, n_con_c):
+        if track_ncontrib:
+            t_final = jnp.exp2(t_term_c)
+            n_inc = n_con_c.astype(jnp.int32)
+        else:
+            t_final, n_inc = t_term_c, n_con_c
+        acc_c, acc_d = acc_cd[:3], acc_cd[3:4]
+        if track_ncontrib:
+            a_row = 1.0 - t_final.reshape(1, p)
+        else:
+            # acc row 4 = Σ weight = 1 - T_terminated (telescoped)
+            a_row = acc_cd[4:5]
+        bg = bg_ref
+        out_color_ref[g, 0, :] = acc_c[0, :] + (1.0 - a_row[0, :]) * bg[0]
+        out_color_ref[g, 1, :] = acc_c[1, :] + (1.0 - a_row[0, :]) * bg[1]
+        out_color_ref[g, 2, :] = acc_c[2, :] + (1.0 - a_row[0, :]) * bg[2]
+        out_depth_ref[g, 0, :] = acc_d[0, :]
+        out_alpha_ref[g, 0, :] = a_row[0, :]
+        out_ncontrib_ref[g, 0, :] = n_inc.reshape(1, p)[0, :]
+
+    t0 = jnp.ones((p, 1), jnp.float32)
+    acc_rows = 4 if track_ncontrib else 5
+    acc_cd0 = jnp.zeros((acc_rows, p), jnp.float32)
+    zeros_p1 = jnp.zeros((p, 1), jnp.float32)
+    # track path: t_term carried as the log-sum (zeros), n_con as f32
+    tt0 = zeros_p1 if track_ncontrib else t0
+    n0 = zeros_p1 if track_ncontrib else jnp.zeros((p, 1), jnp.int32)
+
+    if PAIR_TILES and not pipelined:
+        # PAIR-INTERLEAVED loop: two tiles' chunk chains run in one while
+        # body. The serial body is LATENCY-bound (measured: the render body
+        # costs ~490 ns/visit against a ~230 ns throughput model, and ANY
+        # extra dependent [p,C] chain — reduce, scratch write, or carry —
+        # adds ~430 ns/visit in every formulation tried), so interleaving
+        # two INDEPENDENT tiles lets the VLIW scheduler overlap the two
+        # dependency chains. Masked math keeps inactive tiles correct: a
+        # tile past its last chunk (or saturated, t_run zeroed) computes on
+        # a stale-but-finite slot and kpos/include mask every update to a
+        # no-op. The rotating DMA slots split even/odd per pair member.
+        assert group % 2 == 0
+        # zero the rotating + chunk-0 slots once: stale reads of an EMPTY
+        # tile's never-DMA'd slot would otherwise feed uninitialized VMEM
+        # (possible NaN bit patterns) into the acc matmul, where w=0 rows
+        # cannot mask NaN (0 * NaN). 8 KB stores, program-setup cost only.
+        zero_slot = jnp.zeros(chunk_vmem.shape[1:], jnp.float32)
+        for s in range(6):
+            chunk_vmem[group + s] = zero_slot
+        for g in range(group):
+            t = pid * group + g
+
+            @pl.when(tile_count_ref[t] == 0)
+            def _(g=g):
+                chunk_vmem[g] = zero_slot
+
+        for g2 in range(group // 2):
+            gA, gB = 2 * g2, 2 * g2 + 1
+            tA = pid * group + gA
+            tB = tA + 1
+            startA = tile_start_ref[tA]
+            countA = tile_count_ref[tA]
+            headA = startA - (startA // 128) * 128
+            nA = _n_chunks(startA, countA)
+            txA = ((tA % tiles_x) * TILE).astype(jnp.float32)
+            tyA = ((tA // tiles_x) * TILE).astype(jnp.float32)
+            startB = tile_start_ref[tB]
+            countB = tile_count_ref[tB]
+            headB = startB - (startB // 128) * 128
+            nB = _n_chunks(startB, countB)
+            txB = ((tB % tiles_x) * TILE).astype(jnp.float32)
+            tyB = ((tB // tiles_x) * TILE).astype(jnp.float32)
+
+            # chunk-1 prefetches (chunk 0 went in flight at program start)
+            @pl.when(nA > 1)
+            def _(startA=startA):
+                _copy(startA, jnp.int32(1), group + 0).start()
+
+            @pl.when(nB > 1)
+            def _(startB=startB):
+                _copy(startB, jnp.int32(1), group + 1).start()
+
+            def pair_body(carry, gA=gA, gB=gB, startA=startA, headA=headA,
+                          countA=countA, nA=nA, txA=txA, tyA=tyA,
+                          startB=startB, headB=headB, countB=countB, nB=nB,
+                          txB=txB, tyB=tyB):
+                (ci, t_runA, t_termA, accA, nconA,
+                 t_runB, t_termB, accB, nconB) = carry
+                sA = jnp.where(ci == 0, gA, group + 2 * ((ci - 1) % 3))
+                sB = jnp.where(ci == 0, gB, group + 2 * ((ci - 1) % 3) + 1)
+
+                # DMA guards must pair start/wait exactly (see CLAUDE.md
+                # kernel-fault warning): both sides condition on ci vs n
+                @pl.when(ci < nA)
+                def _(sA=sA):
+                    _copy(startA, ci, sA).wait()
+
+                @pl.when(ci + 2 < nA)
+                def _():
+                    _copy(startA, ci + 2, group + 2 * ((ci + 1) % 3)).start()
+
+                @pl.when(ci < nB)
+                def _(sB=sB):
+                    _copy(startB, ci, sB).wait()
+
+                @pl.when(ci + 2 < nB)
+                def _():
+                    _copy(
+                        startB, ci + 2, group + 2 * ((ci + 1) % 3) + 1
+                    ).start()
+
+                t_runA, t_termA, accA, nconA = _chunk_math(
+                    chunk_vmem.at[sA], ci, headA, countA, txA, tyA,
+                    t_runA, t_termA, accA, nconA,
+                )
+                t_runB, t_termB, accB, nconB = _chunk_math(
+                    chunk_vmem.at[sB], ci, headB, countB, txB, tyB,
+                    t_runB, t_termB, accB, nconB,
+                )
+                return (ci + 1, t_runA, t_termA, accA, nconA,
+                        t_runB, t_termB, accB, nconB)
+
+            def pair_cond(carry, nA=nA, nB=nB):
+                ci, t_runA = carry[0], carry[1]
+                t_runB = carry[5]
+                aliveA = (ci < nA) & (jnp.max(t_runA) >= T_EPS)
+                aliveB = (ci < nB) & (jnp.max(t_runB) >= T_EPS)
+                return aliveA | aliveB
+
+            (ci_final, t_runA, t_termA, accA, nconA,
+             t_runB, t_termB, accB, nconB) = jax.lax.while_loop(
+                pair_cond, pair_body,
+                (jnp.int32(0), t0, tt0, acc_cd0, n0, t0, tt0, acc_cd0, n0),
+            )
+
+            # drain in-flight prefetches (2-deep pipeline per tile)
+            for d in (0, 1):
+                @pl.when(ci_final + d < nA)
+                def _(gA=gA, startA=startA, ci_final=ci_final, d=d):
+                    ci_d = ci_final + d
+                    slot = jnp.where(
+                        ci_d == 0, gA, group + 2 * ((ci_d - 1) % 3)
+                    )
+                    _copy(startA, ci_d, slot).wait()
+
+                @pl.when(ci_final + d < nB)
+                def _(gB=gB, startB=startB, ci_final=ci_final, d=d):
+                    ci_d = ci_final + d
+                    slot = jnp.where(
+                        ci_d == 0, gB, group + 2 * ((ci_d - 1) % 3) + 1
+                    )
+                    _copy(startB, ci_d, slot).wait()
+
+            _tile_outputs(gA, t_termA, accA, nconA)
+            _tile_outputs(gB, t_termB, accB, nconB)
+        return
+
     for g in range(group):
         t = pid * group + g
         start = tile_start_ref[t]
@@ -501,125 +786,19 @@ def _fwd_kernel(
             def _():
                 _copy(start, ci + 2, group + (ci + 1) % 3).start()
 
-            cur = chunk_vmem.at[slot]
-
-            if MXU_POWER:
-                coefs = _power_coefs(cur, tx_px, ty_px, chunk)
-                power = _power_mm(basis, coefs)              # [p, C] MXU
-            else:
-                # rows 2-4 hold the scaled conic CHOLESKY factor
-                # (common.conic_chol, base-2 exponent units): power =
-                # -0.5 (u^2 + v^2) is the LOG2 exponent, u = l11 dx +
-                # l21 dy, v = l22 dy — 8 VPU ops, power <= 0 by
-                # construction (the PSD validity test the conic form
-                # needed disappears), and exp2 is the hardware exponential
-                # without the log2(e) multiply jnp.exp's lowering adds
-                pix_row = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-                pix_x = tx_px + (pix_row % TILE).astype(jnp.float32)
-                pix_y = ty_px + (pix_row // TILE).astype(jnp.float32)
-                dx = cur[0:1, :] - pix_x
-                dy = cur[1:2, :] - pix_y
-                u = cur[2:3, :] * dx + cur[3:4, :] * dy
-                v = cur[4:5, :] * dy
-                power = -0.5 * (u * u + v * v)
-            # row 9 is log2(opacity): alpha = 2^(power + lopa) folds the
-            # per-key opacity into the exponent's add (one [p,C] multiply
-            # saved per chunk; bit-identical recompute in the backward)
-            lopa = cur[9:10, :]
-            alpha = jnp.minimum(ALPHA_MAX, jnp.exp2(power + lopa))
-            kpos = ci * chunk + lane  # position relative to `base`
-            valid = (kpos >= head) & (kpos < head + count)
-            alpha = jnp.where(valid & (alpha >= ALPHA_MIN), alpha, 0.0)
-
-            # exclusive running (1-alpha) product along the chunk, in log2
-            # space: one triangular MXU contraction instead of a lane scan.
-            # Base 2 throughout — the ln2/log2(e) factors between log and
-            # exp cancel exactly, saving one [p,C] multiply inside EACH
-            # transcendental's lowering (exp(x) lowers as exp2(x*log2e),
-            # log(x) as log2(x)*ln2).
-            om = 1.0 - alpha
-            if MXU_SCAN:
-                logx = jnp.log2(om)                           # [p, C] <= 0
-                cum_excl = jnp.exp2(_scan_mm(logx, ltri))
-            else:
-                cum_excl = _cumprod_excl_lanes(om, chunk)
-            t_before = t_run * cum_excl
-            t_after = t_before * om
-            # CUDA rule: the key that would drop T below 1e-4 is excluded
-            # and the pixel is done. Within a chunk t_after is monotone
-            # nonincreasing, so the threshold test is a prefix; stickiness
-            # across chunks comes from ZEROING the running carry once the
-            # last lane crosses (t_after stays 0 ever after) — no separate
-            # sticky flag, no [p,C] AND per chunk.
-            include = t_after >= T_EPS
-            weight = jnp.where(include, alpha * t_before, 0.0)
-
-            if track_ncontrib:
-                # train path: color+depth accumulate in ONE [4, C] x [C, p]
-                # contraction (rows 5-8 adjacent by stream layout)
-                acc_cd = acc_cd + _acc_mm(cur[5:9, :], weight, ((1,), (1,)))
-            else:
-                # render path: a constant ones row rides the contraction so
-                # accumulator row 4 collects Σ weight, which telescopes
-                # EXACTLY to 1 - T_terminated over the included prefix:
-                # Σ a_i ∏_{j<i}(1-a_j) = 1 - ∏(1-a_i). The terminated
-                # transmittance is a free byproduct of the matmul — see the
-                # t_carry note below.
-                acc_cd = acc_cd + _acc_mm(
-                    jnp.concatenate([cur[5:9, :], ones_row], axis=0),
-                    weight, ((1,), (1,)),
-                )
-            if track_ncontrib:
-                # n_contrib = 1-based stream position (from the segment
-                # start) of the last included key with alpha > 0 — the
-                # reference last_contributor, a prefix length for backward.
-                contrib = jnp.logical_and(include, alpha > 0.0)
-                pos1 = (kpos - head) + 1                       # [1, C]
-                n_con = jnp.maximum(
-                    n_con,
-                    jnp.max(jnp.where(contrib, pos1, 0), axis=1, keepdims=True),
-                )
-            if track_ncontrib:
-                # train path: t_term is the smallest included t_after (the
-                # included set is a per-pixel prefix) — the EXACT terminated
-                # transmittance the backward reconstructs t_before from
-                # multiplicatively. The min-reduce is REQUIRED here: the
-                # render path's cancellative 1 - Σweight form (absolute
-                # error ~1e-5 vs T_term as small as 1e-4) corrupts
-                # saturated-pixel gradients — measured: the grads-at-
-                # saturation parity test fails at rtol 1e-3. NOTE two more
-                # recorded dead ends: replacing this reduce (or the
-                # n_contrib max) with masked-log/count MXU dots loses (bf16
-                # operand-split casts cost more than the reduce), and a
-                # lax.cond fast path skipping include/min-reduce/stopped
-                # measured 11.87 -> 16.30 ms — Mosaic branch overhead in
-                # the hot while body. Don't retry either.
-                t_term = jnp.min(
-                    jnp.where(include, t_after, t_term), axis=1, keepdims=True
-                )
-            # running carry: the chunk's FULL product (last-lane t_after;
-            # masked lanes have alpha = 0 so they don't perturb it), ZEROED
-            # once it crosses T_EPS so every later chunk's t_after sits at 0
-            # and the include prefix test stays false — the sticky-stop rule
-            # with no flag. The OUTPUT transmittance is t_term (train) or
-            # the telescoped Σ-weight accumulator row (render), never this
-            # carry, so the zeroing is unobservable.
-            last = t_after[:, chunk - 1 : chunk]
-            t_run = jnp.where(last < T_EPS, 0.0, last)
+            t_run, t_term, acc_cd, n_con = _chunk_math(
+                chunk_vmem.at[slot], ci, head, count, tx_px, ty_px,
+                t_run, t_term, acc_cd, n_con,
+            )
             return ci + 1, t_run, t_term, acc_cd, n_con
 
         def cond(carry, n_chunks=n_chunks):
             ci, t_run, *_ = carry
             return (ci < n_chunks) & (jnp.max(t_run) >= T_EPS)
 
-        t0 = jnp.ones((p, 1), jnp.float32)
-        acc_rows = 4 if track_ncontrib else 5
-        acc_cd0 = jnp.zeros((acc_rows, p), jnp.float32)
-        n0 = jnp.zeros((p, 1), jnp.int32)
-        ci_final, _, t_final, acc_cd, n_inc = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), t0, t0, acc_cd0, n0)
+        ci_final, _, t_term_c, acc_cd, n_con_c = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), t0, tt0, acc_cd0, n0)
         )
-        acc_c, acc_d = acc_cd[:3], acc_cd[3:4]
 
         # drain in-flight prefetches if the loop exited early (up to two:
         # ci_final and ci_final+1 — the 2-deep pipeline keeps both in flight)
@@ -630,18 +809,7 @@ def _fwd_kernel(
                 slot = jnp.where(ci_d == 0, g, group + (ci_d - 1) % 3)
                 _copy(start, ci_d, slot).wait()
 
-        if track_ncontrib:
-            a_row = 1.0 - t_final.reshape(1, p)
-        else:
-            # acc row 4 = Σ weight = 1 - T_terminated (telescoped)
-            a_row = acc_cd[4:5]
-        bg = bg_ref
-        out_color_ref[g, 0, :] = acc_c[0, :] + (1.0 - a_row[0, :]) * bg[0]
-        out_color_ref[g, 1, :] = acc_c[1, :] + (1.0 - a_row[0, :]) * bg[1]
-        out_color_ref[g, 2, :] = acc_c[2, :] + (1.0 - a_row[0, :]) * bg[2]
-        out_depth_ref[g, 0, :] = acc_d[0, :]
-        out_alpha_ref[g, 0, :] = a_row[0, :]
-        out_ncontrib_ref[g, 0, :] = n_inc.reshape(1, p)[0, :]
+        _tile_outputs(g, t_term_c, acc_cd, n_con_c)
 
 
 @functools.partial(
@@ -694,8 +862,15 @@ def _composite_kernel_call(
     tile_start_p = jnp.pad(tile_start, (0, pad))
     tile_count_p = jnp.pad(tile_count, (0, pad))
 
-    # 4 rotating slots for the pipelined loop's 3-deep prefetch, 3 otherwise
-    n_slots = group + (4 if PIPELINE and MXU_SCAN and not MXU_POWER else 3)
+    # rotating DMA slots: 6 for the pair-interleaved loop (3 per member,
+    # even/odd), 4 for the pipelined loop's 3-deep prefetch, 3 otherwise
+    if PIPELINE and MXU_SCAN and not MXU_POWER:
+        n_rot = 4
+    elif PAIR_TILES:
+        n_rot = 6
+    else:
+        n_rot = 3
+    n_slots = group + n_rot
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_groups,),

@@ -48,7 +48,7 @@ from scorp_tpu.ops.raster.xla import rasterize_xla
 from scripts.convergence_run import orbit_pose
 
 
-def make_textured_gaussians(n=160_000, seed=11):
+def make_textured_gaussians(n=200_000, seed=11):
     rng = np.random.default_rng(seed)
     # closed room (see convergence_run.make_scene_gaussians): 6 wall slabs
     n_wall = (3 * n) // 4
@@ -67,24 +67,30 @@ def make_textured_gaussians(n=160_000, seed=11):
     xyz = np.concatenate([walls, clutter]).astype(np.float32)
     n = len(xyz)
 
-    # multi-octave sinusoid texture: frequencies up to ~14 rad/unit give
-    # ~0.45-unit and ~0.15-unit detail — far below the 8k init's ~0.5-unit
-    # point spacing, so the densifier must work to resolve it. Still
-    # SURFACE texture on near-opaque splats: fittable, not speckle.
+    # Multi-octave sinusoid texture. The round-4 scene topped out at 14
+    # rad/unit and the fit reached its loss floor with ~7k gaussians — 10x
+    # under the >=100k validation target (VERDICT round-4 weak #3). Sizing
+    # the dominant octave at ~60 rad/unit (half-period 0.052 units) makes
+    # the required fitted-splat spacing ~0.026-0.05 units over the ~100
+    # units^2 of wall area => ~4e4-1.5e5 splats needed just for the walls.
+    # Still fittable, not speckle: the GT renders it too (200k splats at
+    # ~0.026 wall spacing, sigma 0.016), and the image resolution (pixel
+    # footprint ~0.006 units at 4-unit range) resolves it comfortably.
     col = np.full((n, 3), 0.5, np.float32)
-    for octave, (fscale, amp) in enumerate(((1.2, 0.18), (4.5, 0.14), (14.0, 0.10))):
+    for octave, (fscale, amp) in enumerate(
+            ((2.0, 0.16), (8.0, 0.14), (24.0, 0.14), (60.0, 0.22))):
         freqs = rng.normal(0, fscale, size=(3, 3))
         phases = rng.uniform(0, 2 * np.pi, size=3)
         col += amp * np.sin(xyz @ freqs.T + phases).astype(np.float32)
-    # per-object checker on the furniture
+    # per-object checker on the furniture (fine 24/unit cells)
     obj_colors = rng.uniform(0.2, 0.8, size=(n_obj, 3)).astype(np.float32)
-    checker = (np.floor(xyz[n_wall:] * 9.0).sum(axis=1) % 2).astype(np.float32)
+    checker = (np.floor(xyz[n_wall:] * 24.0).sum(axis=1) % 2).astype(np.float32)
     col[n_wall:] = obj_colors[idx] * (0.65 + 0.7 * checker[:, None])
     col = np.clip(col, 0.05, 0.95).astype(np.float32)
 
     scaling = np.concatenate([
-        rng.normal(np.log(0.022), 0.25, size=(n_wall, 3)),
-        rng.normal(np.log(0.03), 0.25, size=(n - n_wall, 3)),
+        rng.normal(np.log(0.016), 0.25, size=(n_wall, 3)),
+        rng.normal(np.log(0.022), 0.25, size=(n - n_wall, 3)),
     ])
     return GaussianData(
         xyz=xyz,

@@ -30,14 +30,19 @@ cfg = RasterConfig(max_keys=(1 << 20) + (1 << 19) + (1 << 18),
 w, h = cam.width, cam.height
 bg = jnp.zeros(3, jnp.float32)
 
-if MODE == "render":
+if MODE in ("render", "render_nc"):
+    # render_nc: the SAME eval pipeline but with the train-mode forward
+    # body (track_ncontrib=True) — isolates the train-vs-render fwd-kernel
+    # gap (VERDICT round-4 weak #5) on identical streams
+    track = MODE == "render_nc"
+
     @jax.jit
     def step(xyz, shs, scales, quats, opacity):
         prep = preprocess(xyz, opacity, cam, shs=shs, sh_degree=3,
                           scales=scales, quats=quats)
         bins = bin_stream(prep, w, h, cfg)
         return pf.composite_stream_pallas(bins, bg, w, h, cfg,
-                                          track_ncontrib=False)[0]
+                                          track_ncontrib=track)[0]
 
     args = (xyz, shs, scales, quats, opacity)
 elif MODE == "render2d":

@@ -128,6 +128,18 @@ DATA_ROWS = 10
 DATA_ROWS_PADDED = 16
 
 
+def pad_cols(x: jnp.ndarray, cols: int) -> jnp.ndarray:
+    """Zero-pad [N, c] -> [N, cols]. Applied to the N-sized payload table
+    BEFORE the K-sized stream gather so gather_rows_u16_t emits the
+    kernel-consumable padded row count directly — the [rows, K] zero-pad
+    concat it replaces was a measured 0.6 ms copy at 1.66M keys on v5e
+    (the row gather itself is nearly width-independent)."""
+    n, c = x.shape
+    if c == cols:
+        return x
+    return jnp.concatenate([x, jnp.zeros((n, cols - c), x.dtype)], axis=1)
+
+
 def gather_rows_u16(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Exact f32 row gather via u16 bitcast halves.
 
@@ -832,15 +844,18 @@ def bin_stream(
     # bitcast into f32 do NOT survive TPU XLA (denormal flushing in copy
     # fusions zeroes them, fusion/scale-dependently). Row order matches
     # StreamBins (depth at 8, log2-opacity at 9).
-    extra = jnp.concatenate(
-        [
-            prep.xy,
-            conic_chol(prep.conic),
-            prep.color,
-            prep.depth[:, None],
-            log2_opacity(prep.opacity)[:, None],
-        ],
-        axis=1,
+    extra = pad_cols(
+        jnp.concatenate(
+            [
+                prep.xy,
+                conic_chol(prep.conic),
+                prep.color,
+                prep.depth[:, None],
+                log2_opacity(prep.opacity)[:, None],
+            ],
+            axis=1,
+        ),
+        DATA_ROWS_PADDED,
     )
     sorted_tile, g_sorted, order, total, kept, table = sorted_expansion(
         prep, width, height, k_cap, cull=True, interpret=interpret, extra=extra
@@ -851,19 +866,12 @@ def bin_stream(
     # the (smaller) post-cull capacity is the compaction, for free
     sorted_tile = sorted_tile[:k2]
     g_sorted = g_sorted[:k2]
-    # the one big per-key gather, emitted directly in stream-transposed form
-    key_cols = gather_rows_u16_t(table, g_sorted)  # [10, K2]
+    # the one big per-key gather, emitted directly in stream-transposed
+    # form at the kernel-consumable padded row count (pad_cols at N)
+    data = gather_rows_u16_t(table, g_sorted)  # [16, K2]
     # source gaussian of each key (integer gathers are flush-safe); unused
     # consumers are dead-code-eliminated under jit
     sorted_gidx = order[g_sorted].astype(jnp.int32)
-
-    data = jnp.concatenate(
-        [
-            key_cols,
-            jnp.zeros((DATA_ROWS_PADDED - DATA_ROWS, k2), jnp.float32),
-        ],
-        axis=0,
-    )  # [16, K2]
 
     tile_start, tile_count = _tile_bounds(sorted_tile, num_tiles)
     dropped = (

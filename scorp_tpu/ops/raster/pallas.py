@@ -43,6 +43,7 @@ from .common import (
     gather_rows_u16_t,
     grid_dims,
     log2_opacity,
+    pad_cols,
     preprocess,
     sorted_expansion,
 )
@@ -169,14 +170,9 @@ def _make_composite(width: int, height: int, cfg: RasterConfig, interpret: bool)
     k_pad = -(-k2 // chunk) * chunk
 
     def _build_stream(table, g_pad):
-        key_cols = gather_rows_u16_t(table, g_pad)  # [10, K2] transposed
-        data = jnp.concatenate(
-            [
-                key_cols,
-                jnp.zeros((DATA_ROWS_PADDED - DATA_ROWS, k2), jnp.float32),
-            ],
-            axis=0,
-        )
+        # table arrives pre-padded to DATA_ROWS_PADDED columns (pad_cols at
+        # N), so the one K-row gather emits the kernel row count directly
+        data = gather_rows_u16_t(table, g_pad)  # [16, K2] transposed
         # chunk-sized tail pad so kernel DMA windows never run off the end
         return jnp.concatenate(
             [data, jnp.zeros((DATA_ROWS_PADDED, chunk), jnp.float32)], axis=1
@@ -220,10 +216,18 @@ def _make_composite(width: int, height: int, cfg: RasterConfig, interpret: bool)
         )  # [K_pad/C, 16, C] blocks, zero outside written segments
 
         # block-compacted unsorted scatter-add onto gaussians (full-scatter
-        # cond fallback inside); padding slots carry the n_rows sentinel
+        # cond fallback inside); padding slots carry the n_rows sentinel.
+        # The cotangent of the table's zero-pad columns is identically zero
+        # (the kernels never read rows >= DATA_ROWS), so scatter only the
+        # useful rows and pad the result back to the table width.
         d_table = compact_block_scatter(
             grads_padded, g_drop, tile_start, tile_count, ncontrib_t,
             n_rows, cfg.bwd_blocks(k_pad // chunk), useful_rows=DATA_ROWS,
+        )
+        d_table = jnp.concatenate(
+            [d_table,
+             jnp.zeros((n_rows, DATA_ROWS_PADDED - DATA_ROWS), jnp.float32)],
+            axis=1,
         )
 
         # d_bg[c] = sum over pixels of T_final * g_color[c]
@@ -321,12 +325,15 @@ def rasterize_pallas(
     # row 9 carries log2(opacity) so the kernels fold opacity into the
     # exponent add (common.log2_opacity); autodiff chains the backward
     # kernel's d_lopa back to d_opacity through the log2 here
-    extra = jnp.concatenate(
-        [
-            prep.xy, conic_chol(prep.conic), prep.color,
-            prep.depth[:, None], log2_opacity(prep.opacity)[:, None],
-        ],
-        axis=1,
+    extra = pad_cols(
+        jnp.concatenate(
+            [
+                prep.xy, conic_chol(prep.conic), prep.color,
+                prep.depth[:, None], log2_opacity(prep.opacity)[:, None],
+            ],
+            axis=1,
+        ),
+        DATA_ROWS_PADDED,
     )
     g_pad, g_drop, tile_start, tile_count, dropped, order, table = (
         _compact_routing(prep_sg, w, h, cfg, interpret=interpret, extra=extra)

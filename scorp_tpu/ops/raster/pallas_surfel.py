@@ -39,6 +39,7 @@ from .common import (
     gather_rows_u16_t,
     grid_dims,
     log2_opacity,
+    pad_cols,
     sorted_expansion,
 )
 from .pallas_fwd import _acc_mm, _scan_mm, _strict_lower_tri, tiles_cp_to_image
@@ -59,6 +60,15 @@ from .surfel import (
 
 SURFEL_ROWS = 24
 NC2 = -0.5 * 1.4426950408889634  # -0.5 * log2(e)
+
+# diagnosis-only toggles (scripts/profile_fusions.py): skip pieces of the
+# eval body to attribute its cost (the body runs ~5x its VPU-throughput
+# bound where the 3DGS body runs ~2.6x). NEVER set in production — they
+# change the output semantics.
+import os as _os
+_DIAG_SKIP_MED = _os.environ.get("DIAG_2D_SKIP_MED", "") == "1"
+_DIAG_SKIP_DIST = _os.environ.get("DIAG_2D_SKIP_DIST", "") == "1"
+_DIAG_SKIP_UV = _os.environ.get("DIAG_2D_SKIP_UV", "") == "1"
 
 
 def surfel_stream(prep: SurfelPrep, width: int, height: int, cfg: RasterConfig,
@@ -84,10 +94,13 @@ def surfel_stream(prep: SurfelPrep, width: int, height: int, cfg: RasterConfig,
     adj = surfel_adj(prep.M)  # [N, 9]: s = adj @ (px, py, 1)
     # payload table [N, 21], permuted inside the expansion's single N-row
     # u16 gather (~3x the 32-bit row-gather throughput)
-    extra = jnp.concatenate(
-        [adj, prep.zrow, prep.xy, prep.color, prep.normal,
-         log2_opacity(prep.opacity)[:, None]],
-        axis=1,
+    extra = pad_cols(
+        jnp.concatenate(
+            [adj, prep.zrow, prep.xy, prep.color, prep.normal,
+             log2_opacity(prep.opacity)[:, None]],
+            axis=1,
+        ),
+        SURFEL_ROWS,
     )
     sorted_tile, g_sorted, order, total, kept, table = sorted_expansion(
         common, width, height, k_cap, cull=True, interpret=interpret,
@@ -96,11 +109,8 @@ def surfel_stream(prep: SurfelPrep, width: int, height: int, cfg: RasterConfig,
 
     sorted_tile = sorted_tile[:k2]
     g_sorted = g_sorted[:k2]
-    key_cols = gather_rows_u16_t(table, g_sorted)  # [21, K2] transposed
-    data = jnp.concatenate(
-        [key_cols, jnp.zeros((SURFEL_ROWS - key_cols.shape[0], k2), jnp.float32)],
-        axis=0,
-    )
+    # pre-padded table (pad_cols at N): the gather emits [24, K2] directly
+    data = gather_rows_u16_t(table, g_sorted)
     tile_start, tile_count = _tile_bounds(sorted_tile, num_tiles)
     dropped = (
         jnp.maximum(total - k_cap, 0) + jnp.maximum(kept - k2, 0)
@@ -109,6 +119,14 @@ def surfel_stream(prep: SurfelPrep, width: int, height: int, cfg: RasterConfig,
 
 
 GROUP2D = 8  # tiles per program (amortizes per-program fixed cost)
+# PAIR-INTERLEAVED serial loop (see pallas_fwd.PAIR_TILES): the surfel body
+# carries MORE dependent [p,C]/[p,1] chain links than the 3DGS body (UV
+# solve -> scan -> blend -> median max+select + three distortion reduces),
+# and the measured cost model says each extra dependent link costs a full
+# VMEM round-trip (~430 ns/visit) — so overlapping two independent tiles'
+# chains in one while body is worth even more here than the 3DGS 7.91 ->
+# 7.06 ms. Masked math keeps inactive pair members correct.
+PAIR2D = True
 
 
 def _surfel_fwd_kernel(
@@ -152,44 +170,32 @@ def _surfel_fwd_kernel(
         def _(start=start, g=g):
             _copy(start, jnp.int32(0), g).start()
 
-    for g in range(group):
-        t = pid * group + g
-        start = tile_start_ref[t]
-        count = tile_count_ref[t]
-        head = start - (start // 128) * 128
-        n_chunks = _n_chunks(start, count)
-        tx = (t % tiles_x).astype(jnp.float32)
-        ty = (t // tiles_x).astype(jnp.float32)
-        pix_x = (tx * TILE) + px_loc
-        pix_y = (ty * TILE) + py_loc
+    def _chunk_math(cur, ci, head, count, pix_x, pix_y, carry):
+        """One [p, C] surfel chunk body: UV solve -> alpha -> scan -> blend
+        -> median/distortion bookkeeping. Pure math shared by the
+        single-tile and PAIR-interleaved loops; safe on masked/stale chunks
+        (kpos outside [head, head+count) zeroes alpha, making every update
+        a no-op; never-DMA'd slots are zeroed at program start so the math
+        runs on finite values)."""
+        (t_carry, acc_cn, acc_d, med, acc_dist, a_run, d_run, d2_run) = carry
+        # adj(M) rows: s = adj @ (px, py, 1) — the ray-splat solve is
+        # LINEAR in the pixel (see surfel.surfel_adj)
+        a1x, a1y, a1z = cur[0:1, :], cur[1:2, :], cur[2:3, :]
+        a2x, a2y, a2z = cur[3:4, :], cur[4:5, :], cur[5:6, :]
+        a3x, a3y, a3z = cur[6:7, :], cur[7:8, :], cur[8:9, :]
+        zu, zv, zc = cur[9:10, :], cur[10:11, :], cur[11:12, :]
+        cx, cy = cur[12:13, :], cur[13:14, :]
+        lopa = cur[20:21, :]                   # log2(opacity)
 
-        # 2-deep pipeline: chunk 1 in flight before the loop, each iteration
-        # prefetches ci+2 (see pallas_fwd)
-        @pl.when(n_chunks > 1)
-        def _(start=start):
-            _copy(start, jnp.int32(1), group).start()
-
-        def body(carry, g=g, start=start, head=head, count=count,
-                 n_chunks=n_chunks, pix_x=pix_x, pix_y=pix_y):
-            (ci, t_carry, acc_cn, acc_d, med, acc_dist,
-             a_run, d_run, d2_run) = carry
-            slot = jnp.where(ci == 0, g, group + (ci - 1) % 3)
-            _copy(start, ci, slot).wait()
-
-            @pl.when(ci + 2 < n_chunks)
-            def _():
-                _copy(start, ci + 2, group + (ci + 1) % 3).start()
-
-            cur = chunk_vmem.at[slot]
-            # adj(M) rows: s = adj @ (px, py, 1) — the ray-splat solve is
-            # LINEAR in the pixel (see surfel.surfel_adj)
-            a1x, a1y, a1z = cur[0:1, :], cur[1:2, :], cur[2:3, :]
-            a2x, a2y, a2z = cur[3:4, :], cur[4:5, :], cur[5:6, :]
-            a3x, a3y, a3z = cur[6:7, :], cur[7:8, :], cur[8:9, :]
-            zu, zv, zc = cur[9:10, :], cur[10:11, :], cur[11:12, :]
-            cx, cy = cur[12:13, :], cur[13:14, :]
-            lopa = cur[20:21, :]                   # log2(opacity)
-
+        if _DIAG_SKIP_UV:
+            # cost probe: alpha from the low-pass circle only (no ray-splat
+            # solve, no divide)
+            dx = cx - pix_x
+            dy = cy - pix_y
+            rho = FILTER_INV_SQUARE * (dx * dx + dy * dy)
+            alpha = jnp.minimum(ALPHA_MAX, jnp.exp2(NC2 * rho + lopa))
+            z = zc * jnp.ones_like(alpha)
+        else:
             sx = a1x * pix_x + a1y * pix_y + a1z       # [p, C]
             sy = a2x * pix_x + a2y * pix_y + a2z
             s_z = a3x * pix_x + a3y * pix_y + a3z
@@ -209,29 +215,30 @@ def _surfel_fwd_kernel(
             # pallas_surfel_train._surfel_geometry has the derivation)
             alpha = jnp.minimum(ALPHA_MAX, jnp.exp2(NC2 * rho + lopa))
             z = jnp.where(use3d, u * zu + v * zv + zc, zc)
-            kpos = ci * chunk + lane
-            valid = (kpos >= head) & (kpos < head + count)
-            alpha = jnp.where(valid & (alpha >= ALPHA_MIN) & (z >= NEAR_PLANE), alpha, 0.0)
+        kpos = ci * chunk + lane
+        valid = (kpos >= head) & (kpos < head + count)
+        alpha = jnp.where(valid & (alpha >= ALPHA_MIN) & (z >= NEAR_PLANE), alpha, 0.0)
 
-            # exclusive (1-alpha) product in log space: one triangular MXU
-            # contraction replaces the log2(C)-step Hillis-Steele (pallas_fwd)
-            # base-2 scan: the ln2/log2e factors cancel between log and
-            # exp, saving one [p,C] multiply per lowering (pallas_fwd)
-            om = 1.0 - alpha
-            cum_excl = jnp.exp2(_scan_mm(jnp.log2(om), ltri))
-            t_before = t_carry * cum_excl
-            t_after = t_before * om
-            # sticky-stop via the ZEROED running carry (see pallas_fwd):
-            # once the last lane crosses T_EPS the carry is 0 and the
-            # prefix test excludes everything — no flag, no [p,C] AND
-            include = t_after >= T_EPS
-            w = jnp.where(include, alpha * t_before, 0.0)
+        # exclusive (1-alpha) product in log space: one triangular MXU
+        # contraction replaces the log2(C)-step Hillis-Steele (pallas_fwd)
+        # base-2 scan: the ln2/log2e factors cancel between log and
+        # exp, saving one [p,C] multiply per lowering (pallas_fwd)
+        om = 1.0 - alpha
+        cum_excl = jnp.exp2(_scan_mm(jnp.log2(om), ltri))
+        t_before = t_carry * cum_excl
+        t_after = t_before * om
+        # sticky-stop via the ZEROED running carry (see pallas_fwd):
+        # once the last lane crosses T_EPS the carry is 0 and the
+        # prefix test excludes everything — no flag, no [p,C] AND
+        include = t_after >= T_EPS
+        w = jnp.where(include, alpha * t_before, 0.0)
 
-            # color+normal accumulate in ONE [6, C] x [C, p] bf16x3
-            # contraction (rows 14-19 adjacent by stream layout)
-            acc_cn = acc_cn + _acc_mm(cur[14:20, :], w, ((1,), (1,)))
-            acc_d = acc_d + jnp.sum(w * z, axis=1, keepdims=True)
+        # color+normal accumulate in ONE [6, C] x [C, p] bf16x3
+        # contraction (rows 14-19 adjacent by stream layout)
+        acc_cn = acc_cn + _acc_mm(cur[14:20, :], w, ((1,), (1,)))
+        acc_d = acc_d + jnp.sum(w * z, axis=1, keepdims=True)
 
+        if not _DIAG_SKIP_MED:
             # median: z of the last included key with entry transmittance > 0.5
             cond = include & (t_before > 0.5) & (alpha > 0.0)
             r = jnp.where(cond, lane_f, -1.0)
@@ -239,16 +246,20 @@ def _surfel_fwd_kernel(
             zsel = jnp.sum(jnp.where((r == kbest) & cond, z, 0.0), axis=1, keepdims=True)
             med = jnp.where(kbest >= 0.0, zsel, med)
 
-            # distortion with cross-chunk (A, D, D2) carries. The in-chunk
-            # pair sum TELESCOPES: sum_i w_i (m_i^2 A_pre_i + D2_pre_i -
-            # 2 m_i D_pre_i) = a_run*S2 + d2_run*S0 - 2 d_run*S1 +
-            # (S0*S2 - S1^2) with S0/S1/S2 the plain chunk sums of
-            # w/wm/wm2 (each unordered pair {i,j} contributes
-            # w_i w_j (m_i - m_j)^2 exactly once) — no prefix scans at all.
-            # The three triangular MXU contractions this replaces were the
-            # surfel compositor's MXU bottleneck (256 rows x 2 bf16 passes
-            # each). Sums <= 1 (transmittance), so the S0*S2 - S1^2
-            # cancellation costs ~1e-7 absolute.
+        # distortion with cross-chunk (A, D, D2) carries. The in-chunk
+        # pair sum TELESCOPES: sum_i w_i (m_i^2 A_pre_i + D2_pre_i -
+        # 2 m_i D_pre_i) = a_run*S2 + d2_run*S0 - 2 d_run*S1 +
+        # (S0*S2 - S1^2) with S0/S1/S2 the plain chunk sums of
+        # w/wm/wm2 (each unordered pair {i,j} contributes
+        # w_i w_j (m_i - m_j)^2 exactly once) — no prefix scans at all.
+        # The three triangular MXU contractions this replaces were the
+        # surfel compositor's MXU bottleneck (256 rows x 2 bf16 passes
+        # each). Sums <= 1 (transmittance), so the S0*S2 - S1^2
+        # cancellation costs ~1e-7 absolute.
+        if _DIAG_SKIP_DIST:
+            # cost probe: keep only the Σw carry (the alpha output needs it)
+            a_run = a_run + jnp.sum(w, axis=1, keepdims=True)
+        else:
             m = (FAR_PLANE / (FAR_PLANE - NEAR_PLANE)) * (1.0 - NEAR_PLANE / jnp.maximum(z, 1e-6))
             wm = w * m
             wm2 = wm * m
@@ -262,43 +273,21 @@ def _surfel_fwd_kernel(
             d_run = d_run + s1
             d2_run = d2_run + s2
 
-            # Next-chunk carry = the chunk's full product (last-lane
-            # t_after), ZEROED once it crosses T_EPS so every later chunk
-            # excludes itself through the prefix test. The OUTPUT
-            # transmittance is free from the distortion bookkeeping
-            # (a_run = Σ w telescopes to 1 - T_terminated over the included
-            # prefix), never this carry. No min-reduce, no sticky flag.
-            last = t_after[:, chunk - 1 : chunk]
-            t_carry = jnp.where(last < T_EPS, 0.0, last)
-            return (ci + 1, t_carry, acc_cn, acc_d, med, acc_dist,
-                    a_run, d_run, d2_run)
+        # Next-chunk carry = the chunk's full product (last-lane
+        # t_after), ZEROED once it crosses T_EPS so every later chunk
+        # excludes itself through the prefix test. The OUTPUT
+        # transmittance is free from the distortion bookkeeping
+        # (a_run = Σ w telescopes to 1 - T_terminated over the included
+        # prefix), never this carry. No min-reduce, no sticky flag.
+        last = t_after[:, chunk - 1 : chunk]
+        t_carry = jnp.where(last < T_EPS, 0.0, last)
+        return (t_carry, acc_cn, acc_d, med, acc_dist, a_run, d_run, d2_run)
 
-        def cond_fn(carry, n_chunks=n_chunks):
-            ci, t_carry = carry[0], carry[1]
-            return (ci < n_chunks) & (jnp.max(t_carry) >= T_EPS)
-
-        zeros1 = jnp.zeros((p, 1), jnp.float32)
-        init = (
-            jnp.int32(0), jnp.ones((p, 1), jnp.float32),
-            jnp.zeros((6, p), jnp.float32), zeros1,
-            zeros1, zeros1, zeros1, zeros1, zeros1,
-        )
-        (ci_final, _, acc_cn, acc_d, med, acc_dist, a_run, *_) = (
-            jax.lax.while_loop(cond_fn, body, init)
-        )
+    def _tile_out(g, carry):
+        (_, acc_cn, acc_d, med, acc_dist, a_run, *_rest) = carry
         acc_c, acc_n = acc_cn[:3], acc_cn[3:]
         # a_run = Σ weight = 1 - T_terminated (telescoped, see the body)
-        t_final = 1.0 - a_run
-
-        # drain in-flight prefetches on early exit (2-deep pipeline)
-        for d in (0, 1):
-            @pl.when(ci_final + d < n_chunks)
-            def _(g=g, start=start, ci_final=ci_final, d=d):
-                ci_d = ci_final + d
-                slot = jnp.where(ci_d == 0, g, group + (ci_d - 1) % 3)
-                _copy(start, ci_d, slot).wait()
-
-        t_row = t_final.reshape(1, p)
+        t_row = (1.0 - a_run).reshape(1, p)
         bg = bg_ref
         out_color_ref[g, 0, :] = acc_c[0, :] + t_row[0, :] * bg[0]
         out_color_ref[g, 1, :] = acc_c[1, :] + t_row[0, :] * bg[1]
@@ -308,6 +297,175 @@ def _surfel_fwd_kernel(
         out_normal_ref[g] = acc_n
         out_median_ref[g, 0, :] = med.reshape(1, p)[0, :]
         out_dist_ref[g, 0, :] = acc_dist.reshape(1, p)[0, :]
+
+    zeros1 = jnp.zeros((p, 1), jnp.float32)
+    carry0 = (
+        jnp.ones((p, 1), jnp.float32),
+        jnp.zeros((6, p), jnp.float32), zeros1,
+        zeros1, zeros1, zeros1, zeros1, zeros1,
+    )
+
+    if PAIR2D:
+        # PAIR-INTERLEAVED loop (see pallas_fwd's PAIR_TILES block for the
+        # rationale and the DMA-slot discipline): two tiles' chunk chains
+        # share one while body; rotating slots split even/odd per member.
+        assert group % 2 == 0
+        # zero the rotating + chunk-0 slots of empty tiles once: stale
+        # reads of a never-DMA'd slot would feed uninitialized VMEM into
+        # the masked math (w=0 rows cannot mask NaN: 0 * NaN)
+        zero_slot = jnp.zeros(chunk_vmem.shape[1:], jnp.float32)
+        for s in range(6):
+            chunk_vmem[group + s] = zero_slot
+        for g in range(group):
+            t = pid * group + g
+
+            @pl.when(tile_count_ref[t] == 0)
+            def _(g=g):
+                chunk_vmem[g] = zero_slot
+
+        for g2 in range(group // 2):
+            gA, gB = 2 * g2, 2 * g2 + 1
+            tA = pid * group + gA
+            tB = tA + 1
+            startA = tile_start_ref[tA]
+            countA = tile_count_ref[tA]
+            headA = startA - (startA // 128) * 128
+            nA = _n_chunks(startA, countA)
+            startB = tile_start_ref[tB]
+            countB = tile_count_ref[tB]
+            headB = startB - (startB // 128) * 128
+            nB = _n_chunks(startB, countB)
+
+            def _pix(t):
+                tx = (t % tiles_x).astype(jnp.float32)
+                ty = (t // tiles_x).astype(jnp.float32)
+                return (tx * TILE) + px_loc, (ty * TILE) + py_loc
+
+            pixA = _pix(tA)
+            pixB = _pix(tB)
+
+            # chunk-1 prefetches (chunk 0 went in flight at program start)
+            @pl.when(nA > 1)
+            def _(startA=startA):
+                _copy(startA, jnp.int32(1), group + 0).start()
+
+            @pl.when(nB > 1)
+            def _(startB=startB):
+                _copy(startB, jnp.int32(1), group + 1).start()
+
+            def pair_body(carry, gA=gA, gB=gB, startA=startA, headA=headA,
+                          countA=countA, nA=nA, pixA=pixA, startB=startB,
+                          headB=headB, countB=countB, nB=nB, pixB=pixB):
+                ci, cA, cB = carry
+                sA = jnp.where(ci == 0, gA, group + 2 * ((ci - 1) % 3))
+                sB = jnp.where(ci == 0, gB, group + 2 * ((ci - 1) % 3) + 1)
+
+                # DMA start/wait guards must pair exactly (CLAUDE.md
+                # kernel-fault warning): both condition on ci vs n
+                @pl.when(ci < nA)
+                def _(sA=sA):
+                    _copy(startA, ci, sA).wait()
+
+                @pl.when(ci + 2 < nA)
+                def _():
+                    _copy(startA, ci + 2, group + 2 * ((ci + 1) % 3)).start()
+
+                @pl.when(ci < nB)
+                def _(sB=sB):
+                    _copy(startB, ci, sB).wait()
+
+                @pl.when(ci + 2 < nB)
+                def _():
+                    _copy(
+                        startB, ci + 2, group + 2 * ((ci + 1) % 3) + 1
+                    ).start()
+
+                cA = _chunk_math(chunk_vmem.at[sA], ci, headA, countA,
+                                 pixA[0], pixA[1], cA)
+                cB = _chunk_math(chunk_vmem.at[sB], ci, headB, countB,
+                                 pixB[0], pixB[1], cB)
+                return (ci + 1, cA, cB)
+
+            def pair_cond(carry, nA=nA, nB=nB):
+                ci, cA, cB = carry
+                aliveA = (ci < nA) & (jnp.max(cA[0]) >= T_EPS)
+                aliveB = (ci < nB) & (jnp.max(cB[0]) >= T_EPS)
+                return aliveA | aliveB
+
+            ci_final, cA, cB = jax.lax.while_loop(
+                pair_cond, pair_body, (jnp.int32(0), carry0, carry0)
+            )
+
+            # drain in-flight prefetches (2-deep pipeline per member)
+            for d in (0, 1):
+                @pl.when(ci_final + d < nA)
+                def _(gA=gA, startA=startA, ci_final=ci_final, d=d):
+                    ci_d = ci_final + d
+                    slot = jnp.where(
+                        ci_d == 0, gA, group + 2 * ((ci_d - 1) % 3)
+                    )
+                    _copy(startA, ci_d, slot).wait()
+
+                @pl.when(ci_final + d < nB)
+                def _(gB=gB, startB=startB, ci_final=ci_final, d=d):
+                    ci_d = ci_final + d
+                    slot = jnp.where(
+                        ci_d == 0, gB, group + 2 * ((ci_d - 1) % 3) + 1
+                    )
+                    _copy(startB, ci_d, slot).wait()
+
+            _tile_out(gA, cA)
+            _tile_out(gB, cB)
+        return
+
+    for g in range(group):
+        t = pid * group + g
+        start = tile_start_ref[t]
+        count = tile_count_ref[t]
+        head = start - (start // 128) * 128
+        n_chunks = _n_chunks(start, count)
+        tx = (t % tiles_x).astype(jnp.float32)
+        ty = (t // tiles_x).astype(jnp.float32)
+        pix_x = (tx * TILE) + px_loc
+        pix_y = (ty * TILE) + py_loc
+
+        # 2-deep pipeline: chunk 1 in flight before the loop, each iteration
+        # prefetches ci+2 (see pallas_fwd)
+        @pl.when(n_chunks > 1)
+        def _(start=start):
+            _copy(start, jnp.int32(1), group).start()
+
+        def body(carry, g=g, start=start, head=head, count=count,
+                 n_chunks=n_chunks, pix_x=pix_x, pix_y=pix_y):
+            ci, inner = carry
+            slot = jnp.where(ci == 0, g, group + (ci - 1) % 3)
+            _copy(start, ci, slot).wait()
+
+            @pl.when(ci + 2 < n_chunks)
+            def _():
+                _copy(start, ci + 2, group + (ci + 1) % 3).start()
+
+            inner = _chunk_math(chunk_vmem.at[slot], ci, head, count,
+                                pix_x, pix_y, inner)
+            return (ci + 1, inner)
+
+        def cond_fn(carry, n_chunks=n_chunks):
+            ci, inner = carry
+            return (ci < n_chunks) & (jnp.max(inner[0]) >= T_EPS)
+
+        ci_final, inner = jax.lax.while_loop(
+            cond_fn, body, (jnp.int32(0), carry0)
+        )
+
+        # drain in-flight prefetches on early exit (2-deep pipeline)
+        for d in (0, 1):
+            @pl.when(ci_final + d < n_chunks)
+            def _(g=g, start=start, ci_final=ci_final, d=d):
+                ci_d = ci_final + d
+                slot = jnp.where(ci_d == 0, g, group + (ci_d - 1) % 3)
+                _copy(start, ci_d, slot).wait()
+
+        _tile_out(g, inner)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "cfg", "interpret"))
@@ -325,7 +483,9 @@ def _surfel_kernel_call(data, tile_start, tile_count, bg, *, width, height, cfg,
     tile_start_p = jnp.pad(tile_start, (0, pad))
     tile_count_p = jnp.pad(tile_count, (0, pad))
 
-    n_slots = group + 3
+    # rotating DMA slots: 6 for the pair-interleaved loop (3 per member,
+    # even/odd), 3 for the serial loop's 2-deep prefetch
+    n_slots = group + (6 if PAIR2D else 3)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_groups,),

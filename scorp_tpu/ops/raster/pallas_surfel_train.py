@@ -43,6 +43,7 @@ from .common import (
     gather_rows_u16_t,
     grid_dims,
     log2_opacity,
+    pad_cols,
 )
 from .pallas import _compact_routing, _f32, _i32, compact_block_scatter
 from .pallas_fwd import _acc_mm, _scan_mm, _strict_lower_tri, tiles_cp_to_image
@@ -117,6 +118,14 @@ def _surfel_geometry(cur, pix_x, pix_y):
 GROUP2D_TRAIN = 8  # tiles per training program (fwd and bwd share it: the
                    # bwd merge-carry accumulates a group's tile-straddling
                    # chunk blocks in VMEM within one program)
+# Pair-interleave the TRAIN forward body (see pallas_surfel.PAIR2D /
+# pallas_fwd.PAIR_TILES): the training body carries the most dependent
+# chain links of all four compositors (eval body + n_contrib/n_med maxes +
+# t_term min), so overlapping two tiles' chains buys the most here. The
+# BACKWARD kernel is NOT paired: its merge-carry writer requires strictly
+# non-increasing global block visits across tiles, which interleaving two
+# tiles would break.
+PAIR2D_TRAIN = True
 
 
 def _surfel_train_fwd_kernel(
@@ -165,6 +174,223 @@ def _surfel_train_fwd_kernel(
         def _(start=start, g=g):
             _copy(start, jnp.int32(0), g).start()
 
+    def _chunk_math(cur, ci, head, count, pix_x, pix_y, carry):
+        """One [p, C] train-forward chunk body (eval math + n_contrib /
+        n_med / t_term residuals). Shared by the serial and PAIR loops;
+        safe on masked/stale chunks — kpos outside [head, head+count)
+        zeroes alpha, and never-DMA'd slots are zeroed at program start."""
+        (t_run, t_term, acc_cn, acc_d, med, acc_dist,
+         a_run, d_run, d2_run, n_con, n_med) = carry
+        geo = _surfel_geometry(cur, pix_x, pix_y)
+        alpha, z = geo["alpha"], geo["z"]
+        kpos = ci * chunk + lane
+        valid = (kpos >= head) & (kpos < head + count)
+        alpha = jnp.where(
+            valid & (alpha >= ALPHA_MIN) & (z >= NEAR_PLANE), alpha, 0.0
+        )
+
+        # exclusive (1-alpha) product in log space: one triangular MXU
+        # contraction replaces the log2(C)-step Hillis-Steele (see pallas_fwd)
+        # base-2 scan: the ln2/log2e factors cancel between log and
+        # exp, saving one [p,C] multiply per lowering (pallas_fwd)
+        om = 1.0 - alpha
+        logx = jnp.log2(om)
+        cum_excl = jnp.exp2(_scan_mm(logx, ltri))
+        t_before = t_run * cum_excl
+        t_after = t_before * om
+        # sticky-stop via the ZEROED running carry (see pallas_fwd):
+        # once the last lane crosses T_EPS the carry is 0, t_after
+        # stays 0 and the prefix test excludes everything — no flag
+        include = t_after >= T_EPS
+        w = jnp.where(include, alpha * t_before, 0.0)
+
+        # color+normal accumulate in ONE [6, C] x [C, p] bf16x3
+        # contraction (rows 14-19 adjacent by stream layout)
+        acc_cn = acc_cn + _acc_mm(cur[14:20, :], w, ((1,), (1,)))
+        acc_d = acc_d + jnp.sum(w * z, axis=1, keepdims=True)
+
+        contrib = jnp.logical_and(include, alpha > 0.0)
+        # f32 position bookkeeping (exact < 2^24; i32 cast once per tile):
+        # the f32 max-reduces lower better than i32 (pallas_fwd round-5)
+        pos1 = ((kpos - head) + 1).astype(jnp.float32)
+        n_con = jnp.maximum(
+            n_con,
+            jnp.max(jnp.where(contrib, pos1, 0.0), axis=1, keepdims=True),
+        )
+
+        # median: last contributor with entry transmittance > 0.5
+        cond = contrib & (t_before > 0.5)
+        r = jnp.max(jnp.where(cond, pos1, 0.0), axis=1, keepdims=True)
+        zsel = jnp.sum(jnp.where(pos1 == r, z, 0.0), axis=1, keepdims=True)
+        has = r > 0.0
+        med = jnp.where(has, zsel, med)
+        n_med = jnp.where(has, r, n_med)
+
+        # telescoped distortion: the in-chunk pair sum equals
+        # a_run*S2 + d2_run*S0 - 2 d_run*S1 + (S0*S2 - S1^2) with
+        # S0/S1/S2 the chunk sums of w/wm/wm2 — no prefix scans
+        # (see pallas_surfel.py; removes the compositor's three
+        # triangular MXU contractions)
+        m = FF * (1.0 - NEAR_PLANE / jnp.maximum(z, 1e-6))
+        wm = w * m
+        wm2 = wm * m
+        s0 = jnp.sum(w, axis=1, keepdims=True)
+        s1 = jnp.sum(wm, axis=1, keepdims=True)
+        s2 = jnp.sum(wm2, axis=1, keepdims=True)
+        acc_dist = acc_dist + (
+            a_run * s2 + d2_run * s0 - 2.0 * d_run * s1 + s0 * s2 - s1 * s1
+        )
+        a_run = a_run + s0
+        d_run = d_run + s1
+        d2_run = d2_run + s2
+
+        # t_term = the smallest included t_after (the included set is a
+        # per-pixel prefix) — the terminated transmittance the backward
+        # reconstructs t_before from. Accumulated as the LOG-SUM of
+        # included om (one masked lane SUM per chunk, exp2 once per
+        # tile): exact to ~1e-6 RELATIVE — crucially NOT the cancellative
+        # 1 - Σweight form (see pallas_fwd's t_term note).
+        t_term = t_term + jnp.sum(
+            jnp.where(include, logx, 0.0), axis=1, keepdims=True
+        )
+        last = t_after[:, chunk - 1 : chunk]
+        t_run = jnp.where(last < T_EPS, 0.0, last)
+        return (t_run, t_term, acc_cn, acc_d, med, acc_dist,
+                a_run, d_run, d2_run, n_con, n_med)
+
+    def _tile_out(g, carry):
+        (_, t_term, acc_cn, acc_d, med, acc_dist,
+         a_run, d_run, d2_run, n_con, n_med) = carry
+        acc_c, acc_n = acc_cn[:3], acc_cn[3:]
+        t_row = jnp.exp2(t_term).reshape(1, p)
+        bg = bg_ref
+        out_color_ref[g, 0, :] = acc_c[0, :] + t_row[0, :] * bg[0]
+        out_color_ref[g, 1, :] = acc_c[1, :] + t_row[0, :] * bg[1]
+        out_color_ref[g, 2, :] = acc_c[2, :] + t_row[0, :] * bg[2]
+        out_alpha_ref[g, 0, :] = 1.0 - t_row[0, :]
+        out_depth_ref[g, 0, :] = acc_d.reshape(1, p)[0, :]
+        out_normal_ref[g] = acc_n
+        out_median_ref[g, 0, :] = med.reshape(1, p)[0, :]
+        out_dist_ref[g, 0, :] = acc_dist.reshape(1, p)[0, :]
+        out_ncon_ref[g, 0, :] = n_con.astype(jnp.int32).reshape(1, p)[0, :]
+        out_nmed_ref[g, 0, :] = n_med.astype(jnp.int32).reshape(1, p)[0, :]
+        out_wm_ref[g, 0, :] = d_run.reshape(1, p)[0, :]
+        out_wm2_ref[g, 0, :] = d2_run.reshape(1, p)[0, :]
+
+    ones1 = jnp.ones((p, 1), jnp.float32)
+    zeros1 = jnp.zeros((p, 1), jnp.float32)
+    # t_term carried as the log-sum (zeros); n_con/n_med as f32
+    carry0 = (
+        ones1, zeros1,
+        jnp.zeros((6, p), jnp.float32), zeros1,
+        zeros1, zeros1, zeros1, zeros1, zeros1,
+        zeros1, zeros1,
+    )
+
+    if PAIR2D_TRAIN:
+        # PAIR-INTERLEAVED loop (pallas_fwd PAIR_TILES discipline)
+        assert group % 2 == 0
+        zero_slot = jnp.zeros(chunk_vmem.shape[1:], jnp.float32)
+        for s in range(6):
+            chunk_vmem[group + s] = zero_slot
+        for g in range(group):
+            t = pid * group + g
+
+            @pl.when(tile_count_ref[t] == 0)
+            def _(g=g):
+                chunk_vmem[g] = zero_slot
+
+        for g2 in range(group // 2):
+            gA, gB = 2 * g2, 2 * g2 + 1
+            tA = pid * group + gA
+            tB = tA + 1
+            startA = tile_start_ref[tA]
+            countA = tile_count_ref[tA]
+            headA = startA % chunk
+            nA = _n_chunks(startA, countA)
+            startB = tile_start_ref[tB]
+            countB = tile_count_ref[tB]
+            headB = startB % chunk
+            nB = _n_chunks(startB, countB)
+
+            def _pix(t):
+                tx = (t % tiles_x).astype(jnp.float32)
+                ty = (t // tiles_x).astype(jnp.float32)
+                return (tx * TILE) + px_loc, (ty * TILE) + py_loc
+
+            pixA = _pix(tA)
+            pixB = _pix(tB)
+
+            @pl.when(nA > 1)
+            def _(startA=startA):
+                _copy(startA, jnp.int32(1), group + 0).start()
+
+            @pl.when(nB > 1)
+            def _(startB=startB):
+                _copy(startB, jnp.int32(1), group + 1).start()
+
+            def pair_body(carry, gA=gA, gB=gB, startA=startA, headA=headA,
+                          countA=countA, nA=nA, pixA=pixA, startB=startB,
+                          headB=headB, countB=countB, nB=nB, pixB=pixB):
+                ci, cA, cB = carry
+                sA = jnp.where(ci == 0, gA, group + 2 * ((ci - 1) % 3))
+                sB = jnp.where(ci == 0, gB, group + 2 * ((ci - 1) % 3) + 1)
+
+                @pl.when(ci < nA)
+                def _(sA=sA):
+                    _copy(startA, ci, sA).wait()
+
+                @pl.when(ci + 2 < nA)
+                def _():
+                    _copy(startA, ci + 2, group + 2 * ((ci + 1) % 3)).start()
+
+                @pl.when(ci < nB)
+                def _(sB=sB):
+                    _copy(startB, ci, sB).wait()
+
+                @pl.when(ci + 2 < nB)
+                def _():
+                    _copy(
+                        startB, ci + 2, group + 2 * ((ci + 1) % 3) + 1
+                    ).start()
+
+                cA = _chunk_math(chunk_vmem.at[sA], ci, headA, countA,
+                                 pixA[0], pixA[1], cA)
+                cB = _chunk_math(chunk_vmem.at[sB], ci, headB, countB,
+                                 pixB[0], pixB[1], cB)
+                return (ci + 1, cA, cB)
+
+            def pair_cond(carry, nA=nA, nB=nB):
+                ci, cA, cB = carry
+                aliveA = (ci < nA) & (jnp.max(cA[0]) >= T_EPS)
+                aliveB = (ci < nB) & (jnp.max(cB[0]) >= T_EPS)
+                return aliveA | aliveB
+
+            ci_final, cA, cB = jax.lax.while_loop(
+                pair_cond, pair_body, (jnp.int32(0), carry0, carry0)
+            )
+
+            for d in (0, 1):
+                @pl.when(ci_final + d < nA)
+                def _(gA=gA, startA=startA, ci_final=ci_final, d=d):
+                    ci_d = ci_final + d
+                    slot = jnp.where(
+                        ci_d == 0, gA, group + 2 * ((ci_d - 1) % 3)
+                    )
+                    _copy(startA, ci_d, slot).wait()
+
+                @pl.when(ci_final + d < nB)
+                def _(gB=gB, startB=startB, ci_final=ci_final, d=d):
+                    ci_d = ci_final + d
+                    slot = jnp.where(
+                        ci_d == 0, gB, group + 2 * ((ci_d - 1) % 3) + 1
+                    )
+                    _copy(startB, ci_d, slot).wait()
+
+            _tile_out(gA, cA)
+            _tile_out(gB, cB)
+        return
+
     for g in range(group):
         t = pid * group + g
         start = tile_start_ref[t]
@@ -182,8 +408,7 @@ def _surfel_train_fwd_kernel(
 
         def body(carry, g=g, start=start, head=head, count=count,
                  n_chunks=n_chunks, pix_x=pix_x, pix_y=pix_y):
-            (ci, t_run, t_term, acc_cn, acc_d, med, acc_dist,
-             a_run, d_run, d2_run, n_con, n_med) = carry
+            ci, inner = carry
             slot = jnp.where(ci == 0, g, group + (ci - 1) % 3)
             _copy(start, ci, slot).wait()
 
@@ -191,90 +416,17 @@ def _surfel_train_fwd_kernel(
             def _():
                 _copy(start, ci + 2, group + (ci + 1) % 3).start()
 
-            cur = chunk_vmem.at[slot]
-            geo = _surfel_geometry(cur, pix_x, pix_y)
-            alpha, z = geo["alpha"], geo["z"]
-            kpos = ci * chunk + lane
-            valid = (kpos >= head) & (kpos < head + count)
-            alpha = jnp.where(
-                valid & (alpha >= ALPHA_MIN) & (z >= NEAR_PLANE), alpha, 0.0
-            )
-
-            # exclusive (1-alpha) product in log space: one triangular MXU
-            # contraction replaces the log2(C)-step Hillis-Steele (see pallas_fwd)
-            # base-2 scan: the ln2/log2e factors cancel between log and
-            # exp, saving one [p,C] multiply per lowering (pallas_fwd)
-            om = 1.0 - alpha
-            cum_excl = jnp.exp2(_scan_mm(jnp.log2(om), ltri))
-            t_before = t_run * cum_excl
-            t_after = t_before * om
-            # sticky-stop via the ZEROED running carry (see pallas_fwd):
-            # once the last lane crosses T_EPS the carry is 0, t_after
-            # stays 0 and the prefix test excludes everything — no flag
-            include = t_after >= T_EPS
-            w = jnp.where(include, alpha * t_before, 0.0)
-
-            # color+normal accumulate in ONE [6, C] x [C, p] bf16x3
-            # contraction (rows 14-19 adjacent by stream layout)
-            acc_cn = acc_cn + _acc_mm(cur[14:20, :], w, ((1,), (1,)))
-            acc_d = acc_d + jnp.sum(w * z, axis=1, keepdims=True)
-
-            contrib = jnp.logical_and(include, alpha > 0.0)
-            pos1 = (kpos - head) + 1  # 1-based position from segment start
-            n_con = jnp.maximum(
-                n_con, jnp.max(jnp.where(contrib, pos1, 0), axis=1, keepdims=True)
-            )
-
-            # median: last contributor with entry transmittance > 0.5
-            cond = contrib & (t_before > 0.5)
-            r = jnp.max(jnp.where(cond, pos1, 0), axis=1, keepdims=True)
-            zsel = jnp.sum(jnp.where(pos1 == r, z, 0.0), axis=1, keepdims=True)
-            has = r > 0
-            med = jnp.where(has, zsel, med)
-            n_med = jnp.where(has, r, n_med)
-
-            # telescoped distortion: the in-chunk pair sum equals
-            # a_run*S2 + d2_run*S0 - 2 d_run*S1 + (S0*S2 - S1^2) with
-            # S0/S1/S2 the chunk sums of w/wm/wm2 — no prefix scans
-            # (see pallas_surfel.py; removes the compositor's three
-            # triangular MXU contractions)
-            m = FF * (1.0 - NEAR_PLANE / jnp.maximum(z, 1e-6))
-            wm = w * m
-            wm2 = wm * m
-            s0 = jnp.sum(w, axis=1, keepdims=True)
-            s1 = jnp.sum(wm, axis=1, keepdims=True)
-            s2 = jnp.sum(wm2, axis=1, keepdims=True)
-            acc_dist = acc_dist + (
-                a_run * s2 + d2_run * s0 - 2.0 * d_run * s1 + s0 * s2 - s1 * s1
-            )
-            a_run = a_run + s0
-            d_run = d_run + s1
-            d2_run = d2_run + s2
-
-            # t_term = smallest included t_after: the EXACT terminated
-            # transmittance the backward reconstructs from (see pallas_fwd)
-            t_term = jnp.min(jnp.where(include, t_after, t_term), axis=1, keepdims=True)
-            last = t_after[:, chunk - 1 : chunk]
-            t_run = jnp.where(last < T_EPS, 0.0, last)
-            return (ci + 1, t_run, t_term, acc_cn, acc_d, med, acc_dist,
-                    a_run, d_run, d2_run, n_con, n_med)
+            inner = _chunk_math(chunk_vmem.at[slot], ci, head, count,
+                                pix_x, pix_y, inner)
+            return (ci + 1, inner)
 
         def cond_fn(carry, n_chunks=n_chunks):
-            ci, t_run = carry[0], carry[1]
-            return (ci < n_chunks) & (jnp.max(t_run) >= T_EPS)
+            ci, inner = carry
+            return (ci < n_chunks) & (jnp.max(inner[0]) >= T_EPS)
 
-        ones1 = jnp.ones((p, 1), jnp.float32)
-        zeros1 = jnp.zeros((p, 1), jnp.float32)
-        zi = jnp.zeros((p, 1), jnp.int32)
-        init = (
-            jnp.int32(0), ones1, ones1,
-            jnp.zeros((6, p), jnp.float32), zeros1,
-            zeros1, zeros1, zeros1, zeros1, zeros1,
-            zi, zi,
+        ci_final, inner = jax.lax.while_loop(
+            cond_fn, body, (jnp.int32(0), carry0)
         )
-        (ci_final, _, t_final, acc_cn, acc_d, med, acc_dist,
-         _, d_run, d2_run, n_con, n_med) = jax.lax.while_loop(cond_fn, body, init)
-        acc_c, acc_n = acc_cn[:3], acc_cn[3:]
 
         # drain in-flight prefetches on early exit (2-deep pipeline)
         for d in (0, 1):
@@ -284,20 +436,7 @@ def _surfel_train_fwd_kernel(
                 slot = jnp.where(ci_d == 0, g, group + (ci_d - 1) % 3)
                 _copy(start, ci_d, slot).wait()
 
-        t_row = t_final.reshape(1, p)
-        bg = bg_ref
-        out_color_ref[g, 0, :] = acc_c[0, :] + t_row[0, :] * bg[0]
-        out_color_ref[g, 1, :] = acc_c[1, :] + t_row[0, :] * bg[1]
-        out_color_ref[g, 2, :] = acc_c[2, :] + t_row[0, :] * bg[2]
-        out_alpha_ref[g, 0, :] = 1.0 - t_row[0, :]
-        out_depth_ref[g, 0, :] = acc_d.reshape(1, p)[0, :]
-        out_normal_ref[g] = acc_n
-        out_median_ref[g, 0, :] = med.reshape(1, p)[0, :]
-        out_dist_ref[g, 0, :] = acc_dist.reshape(1, p)[0, :]
-        out_ncon_ref[g, 0, :] = n_con.reshape(1, p)[0, :]
-        out_nmed_ref[g, 0, :] = n_med.reshape(1, p)[0, :]
-        out_wm_ref[g, 0, :] = d_run.reshape(1, p)[0, :]
-        out_wm2_ref[g, 0, :] = d2_run.reshape(1, p)[0, :]
+        _tile_out(g, inner)
 
 
 def _surfel_bwd_kernel(
@@ -606,7 +745,7 @@ def _surfel_train_fwd_call(data, tile_start, tile_count, bg, *, width, height,
         return pl.BlockSpec((group, c, p), lambda t, *_: (t, 0, 0),
                             memory_space=pltpu.VMEM)
 
-    n_slots = group + 3
+    n_slots = group + (6 if PAIR2D_TRAIN else 3)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_groups,),
@@ -736,14 +875,9 @@ def _make_surfel_composite(width: int, height: int, cfg: RasterConfig,
     k_pad = -(-k2 // chunk) * chunk
 
     def _build_stream(table, g_pad):
-        key_cols = gather_rows_u16_t(table, g_pad)  # [21, K2] transposed
-        data = jnp.concatenate(
-            [
-                key_cols,
-                jnp.zeros((SURFEL_ROWS - SURFEL_COLS, k2), jnp.float32),
-            ],
-            axis=0,
-        )
+        # table arrives pre-padded to SURFEL_ROWS columns (pad_cols at N),
+        # so the one K-row gather emits the kernel row count directly
+        data = gather_rows_u16_t(table, g_pad)  # [24, K2] transposed
         # chunk-sized tail pad so kernel DMA windows never run off the end
         return jnp.concatenate(
             [data, jnp.zeros((SURFEL_ROWS, chunk), jnp.float32)], axis=1
@@ -787,9 +921,17 @@ def _make_surfel_composite(width: int, height: int, cfg: RasterConfig,
         )
         # block-compacted unsorted scatter-add onto gaussians (full-scatter
         # cond fallback inside; see pallas.compact_block_scatter)
+        # the table's zero-pad columns have identically-zero cotangent
+        # (rows >= SURFEL_COLS are never read): scatter the useful rows and
+        # pad the result back to the table width
         d_table = compact_block_scatter(
             grads_padded, g_drop, tile_start, tile_count, ncon_t,
             n_rows, cfg.bwd_blocks(k_pad // chunk), useful_rows=SURFEL_COLS,
+        )
+        d_table = jnp.concatenate(
+            [d_table,
+             jnp.zeros((n_rows, SURFEL_ROWS - SURFEL_COLS), jnp.float32)],
+            axis=1,
         )
 
         t_final = 1.0 - alpha_t
@@ -831,12 +973,15 @@ def rasterize_surfel_pallas(
     # not survive TPU XLA's denormal flushing.
     # row 20 carries log2(opacity) (common.log2_opacity): the kernels fold
     # opacity into the exponent add and autodiff chains d_lopa -> d_opacity
-    extra = jnp.concatenate(
-        [
-            surfel_adj(prep.M), prep.zrow, prep.xy,
-            prep.color, prep.normal, log2_opacity(prep.opacity)[:, None],
-        ],
-        axis=1,
+    extra = pad_cols(
+        jnp.concatenate(
+            [
+                surfel_adj(prep.M), prep.zrow, prep.xy,
+                prep.color, prep.normal, log2_opacity(prep.opacity)[:, None],
+            ],
+            axis=1,
+        ),
+        SURFEL_ROWS,
     )
     g_pad, g_drop, tile_start, tile_count, dropped, order, table = (
         _compact_routing(

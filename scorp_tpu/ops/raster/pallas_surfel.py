@@ -118,15 +118,19 @@ def surfel_stream(prep: SurfelPrep, width: int, height: int, cfg: RasterConfig,
     return data, tile_start, tile_count, dropped
 
 
-GROUP2D = 8  # tiles per program (amortizes per-program fixed cost)
-# PAIR-INTERLEAVED serial loop (see pallas_fwd.PAIR_TILES): the surfel body
-# carries MORE dependent [p,C]/[p,1] chain links than the 3DGS body (UV
-# solve -> scan -> blend -> median max+select + three distortion reduces),
-# and the measured cost model says each extra dependent link costs a full
-# VMEM round-trip (~430 ns/visit) — so overlapping two independent tiles'
-# chains in one while body is worth even more here than the 3DGS 7.91 ->
-# 7.06 ms. Masked math keeps inactive pair members correct.
-PAIR2D = True
+GROUP2D = 8  # tiles per program (GROUP2D=16 measured a wash: 29.68 vs 29.76)
+# Round-5 attribution sweep (profile_fusions render2d, v5e, bench scale,
+# per-fusion times): composite 29.76 ms paired. DIAG skips: UV solve only
+# -1.9 ms (pre-scan work hides under the MXU scan), median -4.5, distortion
+# -6.6, ALL THREE -10.7 (19.1 ms floor). PAIR2D=False measured FASTER
+# (28.70 vs 29.76): unlike the lean 3DGS body (7.91 -> 7.06 with pairing),
+# the fat surfel body's doubled live state costs more in register/VMEM
+# pressure than the overlapped chains win back. pallas_chunk=256 (half the
+# serial visits) is also a wash (27.97): the body is THROUGHPUT-bound on
+# its post-scan op count, not visit latency — real cuts must remove ops or
+# keys, and the med/dist/Σwz bookkeeping is the reference's channel
+# contract. Keep the serial loop.
+PAIR2D = False
 
 
 def _surfel_fwd_kernel(
@@ -260,7 +264,9 @@ def _surfel_fwd_kernel(
             # cost probe: keep only the Σw carry (the alpha output needs it)
             a_run = a_run + jnp.sum(w, axis=1, keepdims=True)
         else:
-            m = (FAR_PLANE / (FAR_PLANE - NEAR_PLANE)) * (1.0 - NEAR_PLANE / jnp.maximum(z, 1e-6))
+            # m = FF (1 - NEAR/z) folded to FF - FFN/z: one fewer [p,C] op
+            ff = FAR_PLANE / (FAR_PLANE - NEAR_PLANE)
+            m = ff - (ff * NEAR_PLANE) / jnp.maximum(z, 1e-6)
             wm = w * m
             wm2 = wm * m
             s0 = jnp.sum(w, axis=1, keepdims=True)

@@ -118,14 +118,14 @@ def _surfel_geometry(cur, pix_x, pix_y):
 GROUP2D_TRAIN = 8  # tiles per training program (fwd and bwd share it: the
                    # bwd merge-carry accumulates a group's tile-straddling
                    # chunk blocks in VMEM within one program)
-# Pair-interleave the TRAIN forward body (see pallas_surfel.PAIR2D /
-# pallas_fwd.PAIR_TILES): the training body carries the most dependent
-# chain links of all four compositors (eval body + n_contrib/n_med maxes +
-# t_term min), so overlapping two tiles' chains buys the most here. The
-# BACKWARD kernel is NOT paired: its merge-carry writer requires strictly
-# non-increasing global block visits across tiles, which interleaving two
-# tiles would break.
-PAIR2D_TRAIN = True
+# Round-5 measurement: pairing HURTS the fat surfel bodies (see
+# pallas_surfel.PAIR2D — eval 29.76 paired vs 28.70 unpaired). The training
+# body carries 11 loop tensors; pairing doubles the live state and the
+# register/VMEM pressure costs more than the overlapped chains win back.
+# The BACKWARD kernel is NOT paired either way: its merge-carry writer
+# requires strictly non-increasing global block visits across tiles, which
+# interleaving two tiles would break.
+PAIR2D_TRAIN = False
 
 
 def _surfel_train_fwd_kernel(
@@ -231,7 +231,8 @@ def _surfel_train_fwd_kernel(
         # S0/S1/S2 the chunk sums of w/wm/wm2 — no prefix scans
         # (see pallas_surfel.py; removes the compositor's three
         # triangular MXU contractions)
-        m = FF * (1.0 - NEAR_PLANE / jnp.maximum(z, 1e-6))
+        # FF (1 - NEAR/z) folded to FF - FFN/z: one fewer [p,C] op
+        m = FF - (FF * NEAR_PLANE) / jnp.maximum(z, 1e-6)
         wm = w * m
         wm2 = wm * m
         s0 = jnp.sum(w, axis=1, keepdims=True)

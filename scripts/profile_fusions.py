@@ -23,9 +23,11 @@ MODE = sys.argv[1] if len(sys.argv) > 1 else "render"
 xyz, shs, scales, quats, opacity, cam = build_scene()
 # match bench.py's tuned config (incl. bwd_block_frac: without it the
 # profile shows the full-scatter fallback bench never takes)
+import os as _os
 cfg = RasterConfig(max_keys=(1 << 20) + (1 << 19) + (1 << 18),
                    tile_list_len=4096, chunk=64,
-                   pallas_chunk=128, stream_keys=(1 << 20) + (1 << 19),
+                   pallas_chunk=int(_os.environ.get("PC", "128")),
+                   stream_keys=(1 << 20) + (1 << 19),
                    bwd_block_frac=0.66)
 w, h = cam.width, cam.height
 bg = jnp.zeros(3, jnp.float32)
